@@ -1,0 +1,262 @@
+"""Training-time point-cloud augmentation (host-side numpy, vectorized).
+
+Functional counterpart of the reference's augmentation module (reference:
+framework/augmentation.py): per-object pose noise with collision rejection,
+global flip / rotation / anisotropic scaling / translation. The reference
+implements the hot paths as numba kernels with sequential loops
+(noise_per_box :92-120, box_collision_test :617-697, points_transform_
+:400-416); here the 100-candidate collision search is vectorized over tries
+and boxes, with only the unavoidable sequential accept/update loop over gt
+boxes (N ≲ 50) left in python.
+
+Runs on CPU in the input pipeline ahead of the on-device voxelizer; the
+global transforms also exist as on-device jnp (see `global_augment_device`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# small numpy geometry (host twin of ops/geometry for the augment path)
+# ---------------------------------------------------------------------------
+
+
+def rotation_points_single_angle_np(points, angle, axis=2):
+    """Reference framework/box_np_ops.py:629-648 conventions."""
+    s, c = np.sin(angle), np.cos(angle)
+    if axis == 1:
+        rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], points.dtype)
+    elif axis == 2 or axis == -1:
+        rot = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]], points.dtype)
+    elif axis == 0:
+        rot = np.array([[1, 0, 0], [0, c, -s], [0, s, c]], points.dtype)
+    else:
+        raise ValueError(axis)
+    return points @ rot
+
+
+def box2d_corners_np(boxes):
+    """(N, 5=[x,y,dx,dy,yaw]) → (N, 4, 2) corners, reference corner layout
+    (framework/box_np_ops.py:659-679)."""
+    corners_norm = np.array([[0, 0], [0, 1], [1, 1], [1, 0]], boxes.dtype) - 0.5
+    corners = boxes[:, None, 2:4] * corners_norm[None]
+    s, c = np.sin(boxes[:, 4]), np.cos(boxes[:, 4])
+    rot = np.stack([np.stack([c, s], -1), np.stack([-s, c], -1)], -2)  # (N,2,2)
+    return np.einsum("npi,nij->npj", corners, rot) + boxes[:, None, :2]
+
+
+def _points_in_quad(points, quad):
+    """points (P, 2) inside clockwise quad (4, 2) → (P,) bool (all edge
+    crosses negative, reference convention)."""
+    vec = quad - np.roll(quad, 1, axis=0)  # (4, 2)
+    cross = vec[None, :, 1] * (quad[None, :, 0] - points[:, None, 0]) - vec[None, :, 0] * (
+        quad[None, :, 1] - points[:, None, 1]
+    )
+    return np.all(cross < 0, axis=1)
+
+
+def box_collision_test_np(corners_a, corners_b):
+    """Pairwise convex-quad collision, (A,4,2) x (B,4,2) → (A,B) bool.
+
+    Vectorized counterpart of the reference's numba kernel
+    (framework/augmentation.py:617-697): standup-box gate, 4x4 segment
+    intersection tests, then full-containment either way."""
+    a, b = corners_a.shape[0], corners_b.shape[0]
+    if a == 0 or b == 0:
+        return np.zeros((a, b), bool)
+
+    # standup gate
+    amin, amax = corners_a.min(1), corners_a.max(1)
+    bmin, bmax = corners_b.min(1), corners_b.max(1)
+    iw = np.minimum(amax[:, None, 0], bmax[None, :, 0]) - np.maximum(amin[:, None, 0], bmin[None, :, 0])
+    ih = np.minimum(amax[:, None, 1], bmax[None, :, 1]) - np.maximum(amin[:, None, 1], bmin[None, :, 1])
+    gate = (iw > 0) & (ih > 0)
+
+    # segment intersections: edges a (A,4,2,2) vs edges b (B,4,2,2)
+    ea0 = corners_a                                  # (A,4,2)
+    ea1 = np.roll(corners_a, -1, axis=1)
+    eb0 = corners_b
+    eb1 = np.roll(corners_b, -1, axis=1)
+
+    def ccw(p, q, r):
+        # > 0 test of (r-p) x (q-p), broadcast over (A,4,B,4)
+        return (r[..., 1] - p[..., 1]) * (q[..., 0] - p[..., 0]) > (
+            q[..., 1] - p[..., 1]
+        ) * (r[..., 0] - p[..., 0])
+
+    A0 = ea0[:, :, None, None, :]
+    A1 = ea1[:, :, None, None, :]
+    B0 = eb0[None, None, :, :, :]
+    B1 = eb1[None, None, :, :, :]
+    acd = ccw(A0, B0, B1)
+    bcd = ccw(A1, B0, B1)
+    abc = ccw(A0, A1, B0)
+    abd = ccw(A0, A1, B1)
+    seg_hit = np.any((acd != bcd) & (abc != abd), axis=(1, 3))  # (A,B)
+
+    # containment either way (only needed when no segment intersects)
+    def contains(host, guest):
+        # host (H,4,2) clockwise; guest points (G,4,2) → (H,G) all-inside
+        vec = host - np.roll(host, 1, axis=1)  # (H,4,2)
+        cross = vec[:, None, None, :, 1] * (
+            host[:, None, None, :, 0] - guest[None, :, :, None, 0]
+        ) - vec[:, None, None, :, 0] * (host[:, None, None, :, 1] - guest[None, :, :, None, 1])
+        return np.all(cross < 0, axis=(2, 3))
+
+    contain = contains(corners_a, corners_b) | contains(corners_b, corners_a).T
+    return gate & (seg_hit | contain)
+
+
+def points_in_rbbox_np(points, boxes):
+    """BEV rotated-rect + z-extent membership, (P, >=3) x (K, 7) → (P, K)."""
+    corners = box2d_corners_np(boxes[:, [0, 1, 3, 4, 6]].astype(np.float64))
+    in_bev = np.stack(
+        [_points_in_quad(points[:, :2], corners[k]) for k in range(boxes.shape[0])], -1
+    ) if boxes.shape[0] else np.zeros((points.shape[0], 0), bool)
+    z0 = boxes[:, 2]
+    z1 = z0 + boxes[:, 5]
+    in_z = (points[:, None, 2] >= z0[None]) & (points[:, None, 2] <= z1[None])
+    return in_bev & in_z
+
+
+# ---------------------------------------------------------------------------
+# per-object noise (collision-rejected pose jitter)
+# ---------------------------------------------------------------------------
+
+
+def noise_per_object(
+    gt_boxes: np.ndarray,
+    points: np.ndarray,
+    valid_mask: np.ndarray | None = None,
+    rotation_perturb: float = (5.0 / 180) * np.pi,
+    center_noise_std: float = 0.15,
+    num_try: int = 100,
+    rng: np.random.RandomState | None = None,
+) -> None:
+    """In-place per-object pose jitter with collision rejection.
+
+    Reference: framework/augmentation.py:177-212 (noise_per_object) with the
+    default `noise_per_box` path (global rot range below threshold is the
+    live configuration — augmentation.py:196-201 with the 2° default still
+    enables grot in the reference; we implement the simpler rejected-jitter
+    semantics of noise_per_box, the documented intent).
+    """
+    rng = rng or np.random.RandomState()
+    num_boxes = gt_boxes.shape[0]
+    if num_boxes == 0:
+        return
+    if valid_mask is None:
+        valid_mask = np.ones((num_boxes,), bool)
+
+    loc_noises = rng.normal(scale=center_noise_std, size=[num_boxes, num_try, 3])
+    rot_noises = rng.uniform(-rotation_perturb, rotation_perturb, size=[num_boxes, num_try])
+
+    point_masks = points_in_rbbox_np(points, gt_boxes)
+
+    boxes_bev = gt_boxes[:, [0, 1, 3, 4, 6]]
+    box_corners = box2d_corners_np(boxes_bev)  # evolving state, (N,4,2)
+
+    success = -np.ones((num_boxes,), np.int64)
+    for i in range(num_boxes):
+        if not valid_mask[i]:
+            continue
+        # all candidate corner sets for box i, vectorized over tries
+        base = box_corners[i] - boxes_bev[i, :2]  # (4,2) centered current corners
+        s = np.sin(rot_noises[i])
+        c = np.cos(rot_noises[i])
+        rot = np.stack([np.stack([c, s], -1), np.stack([-s, c], -1)], -2)  # (T,2,2)
+        cand = np.einsum("pi,tij->tpj", base, rot) + (
+            boxes_bev[i, :2] + loc_noises[i, :, :2]
+        )[:, None, :]  # (T,4,2)
+        coll = box_collision_test_np(cand, box_corners)  # (T,N)
+        coll[:, i] = False
+        ok = ~coll.any(axis=1)
+        hit = np.argmax(ok) if ok.any() else -1
+        if hit >= 0:
+            success[i] = hit
+            box_corners[i] = cand[hit]
+
+    # apply accepted transforms to in-box points (first-containing-box rule)
+    first_box = np.where(
+        point_masks.any(1), np.argmax(point_masks, axis=1), -1
+    )
+    for i in range(num_boxes):
+        if success[i] < 0 or not valid_mask[i]:
+            continue
+        sel = first_box == i
+        if sel.any():
+            t = success[i]
+            centered = points[sel, :3] - gt_boxes[i, :3]
+            rotated = rotation_points_single_angle_np(centered, rot_noises[i, t], axis=2)
+            points[sel, :3] = rotated + gt_boxes[i, :3] + loc_noises[i, t]
+        gt_boxes[i, :3] += loc_noises[i, success[i]]
+        gt_boxes[i, 6] += rot_noises[i, success[i]]
+
+
+# ---------------------------------------------------------------------------
+# global transforms (reference framework/augmentation.py:9-89)
+# ---------------------------------------------------------------------------
+
+
+def random_flip(gt_boxes, points, rng):
+    if rng.random_sample() > 0.5:
+        gt_boxes[:, 1] = -gt_boxes[:, 1]
+        gt_boxes[:, 6] = -gt_boxes[:, 6]
+        points[:, 1] = -points[:, 1]
+    return gt_boxes, points
+
+
+def global_rotation(gt_boxes, points, rng):
+    """pitch ±4°, roll ±2°, yaw ±30° (reference global_rotation_v2 :29-48)."""
+    pitch = rng.uniform(-4, 4) / 180 * np.pi
+    points[:, :3] = rotation_points_single_angle_np(points[:, :3], pitch, axis=1)
+    gt_boxes[:, :3] = rotation_points_single_angle_np(gt_boxes[:, :3], pitch, axis=1)
+
+    roll = rng.uniform(-2, 2) / 180 * np.pi
+    points[:, :3] = rotation_points_single_angle_np(points[:, :3], roll, axis=0)
+    gt_boxes[:, :3] = rotation_points_single_angle_np(gt_boxes[:, :3], roll, axis=0)
+
+    yaw = rng.uniform(-30, 30) / 180 * np.pi
+    points[:, :3] = rotation_points_single_angle_np(points[:, :3], yaw, axis=2)
+    gt_boxes[:, :3] = rotation_points_single_angle_np(gt_boxes[:, :3], yaw, axis=2)
+    gt_boxes[:, 6] += yaw
+    return gt_boxes, points
+
+
+def global_scaling(gt_boxes, points, rng):
+    """Anisotropic scale (reference global_scaling_v2 :57-71), including the
+    dim/yaw re-fit under unequal x/y scaling."""
+    x_scale = rng.uniform(0.9, 1.1)
+    y_scale = rng.uniform(0.9, 1.1)
+    z_scale = rng.uniform(0.95, 1.05)
+    scales = np.array([x_scale, y_scale, z_scale])
+    points[:, :3] *= scales
+    gt_boxes[:, :3] *= scales
+    yaw = gt_boxes[:, 6]
+    gt_boxes[:, 3] *= np.sqrt((x_scale * np.cos(yaw)) ** 2 + (y_scale * np.sin(yaw)) ** 2)
+    gt_boxes[:, 4] *= np.sqrt((x_scale * np.sin(yaw)) ** 2 + (y_scale * np.cos(yaw)) ** 2)
+    gt_boxes[:, 5] *= z_scale
+    gt_boxes[:, 6] = np.arctan(np.tan(yaw) * (y_scale / x_scale))
+    return gt_boxes, points
+
+
+def global_translate(gt_boxes, points, rng, std=(0.25, 0.25, 0.25)):
+    noise = rng.normal(0, std, size=3)
+    points[:, :3] += noise
+    gt_boxes[:, :3] += noise
+    return gt_boxes, points
+
+
+def augment_sample(points, gt_boxes, gt_valid_mask=None, rng=None):
+    """Full training augmentation chain, reference order
+    (framework/dataset.py:122-133): per-object noise → flip → rotation →
+    scaling → translation. Mutates and returns (gt_boxes, points)."""
+    rng = rng or np.random.RandomState()
+    noise_per_object(gt_boxes, points, gt_valid_mask, rng=rng)
+    gt_boxes, points = random_flip(gt_boxes, points, rng)
+    gt_boxes, points = global_rotation(gt_boxes, points, rng)
+    gt_boxes, points = global_scaling(gt_boxes, points, rng)
+    gt_boxes, points = global_translate(gt_boxes, points, rng)
+    return gt_boxes, points

@@ -1,0 +1,139 @@
+"""Dataset: pickled info lists + .bin point clouds → static-shape samples.
+
+Counterpart of the reference's `GenericDataset` / `InferData` (reference:
+framework/dataset.py:13-231). Key redesign: `__getitem__` only does host IO
+and augmentation — voxelization, anchor masking, and target assignment all
+moved on-device (see pipeline.Detector / targets.make_target_assigner), so
+the host data plane is trivially cheap and the training step consumes raw
+padded points + gt boxes.
+
+Class remapping matches the reference exactly (dataset.py:45-84):
+car/truck/bus → vehicle, person → pedestrian, bicycle/motorbike → cyclist;
+gt with zero lidar points are dropped.
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+from det3d_tpu.config import Config
+from det3d_tpu.data import augment as agm
+from det3d_tpu.ops import geometry  # noqa: F401  (device twin of the filters below)
+
+_CLASS_REMAP = {
+    "car": "vehicle",
+    "truck": "vehicle",
+    "bus": "vehicle",
+    "person": "pedestrian",
+    "bicycle": "cyclist",
+    "motorbike": "cyclist",
+}
+
+
+def remap_class_names(infos: list[dict]) -> list[dict]:
+    """In-place raw→detect class remap + zero-point gt drop
+    (reference framework/dataset.py:45-84, train.py:165-184 changeInfo)."""
+    for info in infos:
+        annos = info.get("annos")
+        if annos is None or len(annos.get("name", ())) == 0:
+            continue
+        if "num_points" in annos:
+            keep = annos["num_points"] > 0
+            for key in annos:
+                annos[key] = annos[key][keep]
+        names = annos["name"].astype("<U16")
+        for raw, mapped in _CLASS_REMAP.items():
+            names[names == raw] = mapped
+        annos["name"] = names
+    return infos
+
+
+def _limit_period_np(val, offset=0.5, period=2 * np.pi):
+    return val - np.floor(val / period + offset) * period
+
+
+def _filter_gt_outside_range_np(gt_boxes, bv_range):
+    corners = agm.box2d_corners_np(gt_boxes[:, [0, 1, 3, 4, 6]].astype(np.float64))
+    cx = np.array(
+        [[bv_range[0], bv_range[1]], [bv_range[0], bv_range[3]],
+         [bv_range[2], bv_range[3]], [bv_range[2], bv_range[1]]]
+    )
+    flat = corners.reshape(-1, 2)
+    inside = agm._points_in_quad(flat, cx)
+    return inside.reshape(-1, 4).any(axis=1)
+
+
+class DetectionDataset:
+    """Map-style dataset over info pickles."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        info_paths,
+        training: bool = True,
+        augment: bool = True,
+        seed: int | None = None,
+    ):
+        self.cfg = cfg
+        self.data_root = Path(cfg.data_root)
+        self.training = training
+        self.augment = augment and training
+        self.rng = np.random.RandomState(seed)
+        self.infos: list[dict] = []
+        for p in info_paths:
+            with open(self.data_root / p, "rb") as f:
+                self.infos += pickle.load(f)
+        remap_class_names(self.infos)
+
+    def __len__(self) -> int:
+        return len(self.infos)
+
+    def load_points(self, info: dict) -> np.ndarray:
+        path = self.data_root / info["velodyne_path"]
+        return np.fromfile(path, dtype=np.float32).reshape(-1, self.cfg.num_point_features)
+
+    def __getitem__(self, idx: int) -> dict:
+        info = self.infos[idx]
+        points = self.load_points(info)
+        sample = {"points": points, "info": info}
+        if not self.training:
+            return sample
+
+        annos = info["annos"]
+        names = annos["name"]
+        class_mask = np.array([n in self.cfg.detect_class for n in names], bool)
+        gt_names = names[class_mask]
+        gt_classes = np.array(
+            [list(self.cfg.detect_class).index(n) + 1 for n in gt_names], np.int32
+        )
+        gt_boxes = np.concatenate(
+            [
+                annos["location"][class_mask],
+                annos["dimensions"][class_mask],
+                annos["rotation_y"][class_mask][..., None],
+            ],
+            axis=1,
+        ).astype(np.float32)
+
+        if self.augment:
+            gt_boxes, points = agm.augment_sample(points, gt_boxes, rng=self.rng)
+
+        # range filter + yaw wrap (reference dataset.py:136-143)
+        dr = np.asarray(self.cfg.detection_range)
+        keep = _filter_gt_outside_range_np(gt_boxes, dr[[0, 1, 3, 4]])
+        gt_boxes = gt_boxes[keep]
+        gt_classes = gt_classes[keep]
+        gt_boxes[:, 6] = _limit_period_np(gt_boxes[:, 6])
+        self.rng.shuffle(points)
+
+        sample.update(points=points, gt_boxes=gt_boxes, gt_classes=gt_classes)
+        return sample
+
+    def epoch_order(self, shuffle: bool = True) -> np.ndarray:
+        order = np.arange(len(self))
+        if shuffle:
+            self.rng.shuffle(order)
+        return order

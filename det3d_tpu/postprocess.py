@@ -1,0 +1,183 @@
+"""Inference post-processing: mask → score gate → top-k → decode → NMS →
+direction fix-up, entirely on device with static shapes.
+
+TPU-native counterpart of `Inference.infer_gpu` (reference:
+framework/inference.py:26-138). The reference gathers dynamically through the
+anchor mask, crosses to numpy after top-k for the decode/corner math, and
+round-trips to a CUDA kernel for NMS; here the whole per-class pipeline is
+one traced computation:
+
+  * the dynamic anchor-mask gather becomes masked dense scoring over the
+    class's full anchor slice (masking reproduces the gather semantics and is
+    cheaper than gather on TPU);
+  * `top_k(1000)` bounds everything downstream to fixed shapes;
+  * decode / corners / standup / NMS / direction flip / range filter operate
+    on the fixed 1000-box set with validity masks.
+
+Outputs are fixed-size per class (post_max_size boxes + validity); host code
+(`to_annos`) strips padding and formats the reference's annos dict
+(framework/inference.py:129-137, :724-737).
+
+NMS hyper-parameters are the reference's hard-coded values
+(framework/inference.py:13-19).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from det3d_tpu.anchors import AnchorSet
+from det3d_tpu.config import Config
+from det3d_tpu.ops import geometry
+from det3d_tpu.ops.nms import greedy_nms
+
+
+class PostProcessParams(NamedTuple):
+    """Reference inference hyper-parameters (framework/inference.py:13-19)."""
+
+    nms_pre_max_size: int = 1000
+    nms_post_max_size: int = 300
+    nms_iou_threshold: float = 0.1
+    score_threshold: float = 0.05
+
+
+class Detections(NamedTuple):
+    """Fixed-shape per-frame detections, stacked over classes."""
+
+    boxes: jax.Array     # (num_classes, post_max, 7)
+    scores: jax.Array    # (num_classes, post_max)
+    valid: jax.Array     # (num_classes, post_max) bool
+
+
+def _postprocess_one_class(
+    cls_preds: jax.Array,      # (Ac, 1) logits
+    box_preds: jax.Array,      # (Ac, 7)
+    dir_preds: jax.Array,      # (Ac, 2)
+    anchors_mask: jax.Array,   # (Ac,) bool
+    anchors: jax.Array,        # (Ac, 7) constant
+    center_limit: jax.Array,   # (6,)
+    params: PostProcessParams,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    k = params.nms_pre_max_size
+
+    scores = jax.nn.sigmoid(jnp.max(cls_preds.astype(jnp.float32), axis=-1))  # (Ac,)
+    gate = anchors_mask & (scores >= params.score_threshold)
+    masked_scores = jnp.where(gate, scores, -1.0)
+
+    top_scores, idx = jax.lax.top_k(masked_scores, k)
+    valid = top_scores >= 0.0
+
+    box_k = box_preds[idx].astype(jnp.float32)
+    dir_k = dir_preds[idx]
+    anchors_k = anchors[idx]
+
+    boxes = geometry.box_decode(box_k, anchors_k)                      # (k, 7)
+    dir_labels = jnp.argmax(dir_k, axis=-1).astype(bool)
+
+    corners = geometry.center_to_corner_box2d(
+        boxes[:, :2], boxes[:, 3:5], boxes[:, 6]
+    )
+    standup = geometry.corner_to_standup(corners)                      # (k, 4)
+
+    keep = greedy_nms(
+        standup, valid, params.nms_iou_threshold, params.nms_post_max_size
+    )
+
+    # direction flip: +π where the dir classifier disagrees with sign(yaw)
+    # (reference framework/inference.py:101-104)
+    opp = (boxes[:, 6] > 0) ^ dir_labels
+    yaw = boxes[:, 6] + jnp.where(opp, np.pi, 0.0)
+    boxes = boxes.at[:, 6].set(
+        geometry.limit_period(yaw, period=2 * np.pi)
+    )
+
+    # center-limit filter, reproduced verbatim incl. the dims-vs-max quirk
+    # (reference framework/inference.py:106-109 compares dims to limit[3:])
+    min_mask = jnp.any(boxes[:, :3] > center_limit[:3], axis=1)
+    max_mask = jnp.any(boxes[:, 3:6] < center_limit[3:], axis=1)
+    keep = keep & min_mask & max_mask
+
+    # compact the ≤ post_max kept boxes into a fixed (post_max, ...) block,
+    # preserving score order (dropped rows use a positive OOB sentinel:
+    # scatter "drop" mode doesn't drop negative indices)
+    p = params.nms_post_max_size
+    slot = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1, p)
+    out_boxes = jnp.zeros((p, 7), jnp.float32).at[slot].set(boxes, mode="drop")
+    out_scores = jnp.zeros((p,), jnp.float32).at[slot].set(top_scores, mode="drop")
+    out_valid = jnp.zeros((p,), bool).at[slot].set(keep, mode="drop")
+    return out_boxes, out_scores, out_valid
+
+
+def make_postprocessor(cfg: Config, anchor_set: AnchorSet, params: PostProcessParams | None = None):
+    """Build a jit-able `fn(preds_dict, anchors_mask) -> Detections` closed
+    over the static anchor set. preds are single-frame (squeezed batch)."""
+    params = params or PostProcessParams()
+    center_limit = jnp.asarray(cfg.center_limit, jnp.float32)
+    ranges = [anchor_set.class_ranges[s.name] for s in cfg.class_specs]
+    class_anchors = [jnp.asarray(anchor_set.anchors[a:b]) for a, b in ranges]
+
+    def postprocess(preds: dict[str, jax.Array], anchors_mask: jax.Array) -> Detections:
+        cls_all = preds["cls_preds"].reshape(-1, 1)
+        box_all = preds["box_preds"].reshape(-1, cfg.box_code_size)
+        dir_all = preds["dir_preds"].reshape(-1, 2)
+        mask_all = anchors_mask.reshape(-1)
+
+        boxes_l, scores_l, valid_l = [], [], []
+        for (a, b), anchors in zip(ranges, class_anchors):
+            bx, sc, va = _postprocess_one_class(
+                cls_all[a:b], box_all[a:b], dir_all[a:b], mask_all[a:b],
+                anchors, center_limit, params,
+            )
+            boxes_l.append(bx)
+            scores_l.append(sc)
+            valid_l.append(va)
+        return Detections(
+            boxes=jnp.stack(boxes_l), scores=jnp.stack(scores_l), valid=jnp.stack(valid_l)
+        )
+
+    return postprocess
+
+
+def to_annos(cfg: Config, det: Detections) -> dict:
+    """Fixed-shape detections → the reference's annos dict (host side).
+
+    Matches framework/inference.py:129-137 + get_start_result_anno:724-737."""
+    boxes = np.asarray(det.boxes)
+    scores = np.asarray(det.scores)
+    valid = np.asarray(det.valid)
+
+    names, locs, dims, yaws, scs = [], [], [], [], []
+    for ci, spec in enumerate(cfg.class_specs):
+        m = valid[ci]
+        n = int(m.sum())
+        if n == 0:
+            continue
+        names.append(np.full(n, spec.name, dtype="<U10"))
+        locs.append(boxes[ci][m][:, :3])
+        dims.append(boxes[ci][m][:, 3:6])
+        yaws.append(boxes[ci][m][:, 6])
+        scs.append(scores[ci][m])
+
+    anno = {
+        "name": np.array([]),
+        "truncated": np.array([]),
+        "occluded": np.array([]),
+        "alpha": np.array([]),
+        "bbox": np.zeros([0, 4]),
+        "dimensions": np.zeros([0, 3]),
+        "location": np.zeros([0, 3]),
+        "rotation_y": np.array([]),
+        "score": np.array([]),
+    }
+    if names:
+        anno["name"] = np.concatenate(names)
+        anno["location"] = np.concatenate(locs)
+        anno["dimensions"] = np.concatenate(dims)
+        anno["rotation_y"] = np.concatenate(yaws)
+        anno["score"] = np.concatenate(scs)
+    return anno

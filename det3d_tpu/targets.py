@@ -1,0 +1,146 @@
+"""On-device anchor target assignment (vectorized, static shapes).
+
+TPU-native counterpart of `AnchorAssigner.assign` (reference:
+framework/anchor_assigner.py:337-457), which runs per-frame on the CPU inside
+dataloader workers using numba `iou_jit`. Here the whole assignment — per
+class: nearest-axis BEV IoU against gt, bidirectional argmax, force-matching
+of each gt's best anchors (including ties), thresholding to labels
+{-1, 0, 1}, regression encoding, and direction targets — is dense masked
+`jnp` that traces into the training step.
+
+Semantics mapping (dynamic gather → dense mask):
+  * the reference first gathers `inds_inside = where(anchors_mask)` and
+    assigns only those, then `unmap`s back with fill -1/0
+    (anchor_assigner.py:353-412). Dense equivalent: excluded anchors get
+    IoU rows of -1 (never selected, never force-matched) and final
+    label -1 / target 0 / weight 0;
+  * gt padding columns get IoU -1, so with zero valid gt every included
+    anchor's best IoU is -1 < unmatched_threshold → label 0, matching the
+    reference's `labels[:] = 0` empty-gt branch (:399-400);
+  * a gt whose best overlap is exactly 0 force-matches nothing
+    (`empty_gt_mask` fix, :374-375) — reproduced by requiring
+    `gt_to_anchor_max > 0` for force matches.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from det3d_tpu.anchors import AnchorSet
+from det3d_tpu.config import Config
+from det3d_tpu.ops import geometry
+
+
+class TargetAssignment(NamedTuple):
+    labels: jax.Array            # (A,) int32 in {-1, 0, 1}
+    bbox_targets: jax.Array      # (A, 7) float32
+    bbox_outside_weights: jax.Array  # (A,) float32
+    dir_targets: jax.Array       # (A,) int32 in {0, 1}
+
+
+def _assign_one_class(
+    anchors: jax.Array,           # (Ac, 7)
+    anchors_bv: jax.Array,        # (Ac, 4)
+    anchors_mask: jax.Array,      # (Ac,) bool
+    gt_boxes: jax.Array,          # (G, 7) padded
+    gt_valid: jax.Array,          # (G,) bool (this class & real)
+    matched_threshold: float,
+    unmatched_threshold: float,
+):
+    gt_bv = geometry.rbbox2d_to_near_bbox(gt_boxes[:, jnp.array([0, 1, 3, 4, 6])])
+    overlap = geometry.iou_matrix(anchors_bv, gt_bv, eps=0.0)        # (Ac, G)
+    included = anchors_mask
+    overlap = jnp.where(included[:, None] & gt_valid[None, :], overlap, -1.0)
+
+    anchor_to_gt_argmax = jnp.argmax(overlap, axis=1)                # (Ac,)
+    anchor_to_gt_max = jnp.max(overlap, axis=1)
+
+    gt_to_anchor_max = jnp.max(overlap, axis=0)                      # (G,)
+    # gts with zero best overlap must not force-match (reference :374-375)
+    force = (
+        (overlap == gt_to_anchor_max[None, :])
+        & (gt_to_anchor_max[None, :] > 0)
+        & gt_valid[None, :]
+        & included[:, None]
+    )
+    force_any = jnp.any(force, axis=1)                               # (Ac,)
+
+    pos = anchor_to_gt_max >= matched_threshold
+    bg = anchor_to_gt_max < unmatched_threshold
+    labels = jnp.where(
+        force_any | pos, 1, jnp.where(bg, 0, -1)
+    ).astype(jnp.int32)
+    labels = jnp.where(included, labels, -1)
+
+    matched_gt = gt_boxes[anchor_to_gt_argmax]                       # (Ac, 7)
+    encoded = geometry.box_encode(matched_gt, anchors)
+    fg = labels > 0
+    bbox_targets = jnp.where(fg[:, None], encoded, 0.0)
+    weights = fg.astype(jnp.float32)
+
+    # direction target from the (possibly zero-filled) regression target,
+    # exactly as reference get_direction_target (:454-457)
+    rot_gt = bbox_targets[:, -1] + anchors[:, -1]
+    dir_targets = (rot_gt > 0).astype(jnp.int32)
+    return labels, bbox_targets, weights, dir_targets
+
+
+def make_target_assigner(cfg: Config, anchor_set: AnchorSet):
+    """Build a jit-able `fn(gt_boxes, gt_classes, gt_valid, anchors_mask)`.
+
+    gt arrays are padded to `cfg.max_gt_boxes`; `gt_classes` uses 1-based ids
+    in `cfg.class_specs` order (reference: framework/dataset.py:114).
+    Padded gt rows must have nonzero dims (host pads with dims=1) so the
+    masked `box_encode` log terms stay finite.
+    """
+    ranges = [anchor_set.class_ranges[s.name] for s in cfg.class_specs]
+    class_anchors = [jnp.asarray(anchor_set.anchors[a:b]) for a, b in ranges]
+    class_anchors_bv = [jnp.asarray(anchor_set.anchors_bv[a:b]) for a, b in ranges]
+    thresholds = [(s.matched_threshold, s.unmatched_threshold) for s in cfg.class_specs]
+
+    def assign(
+        gt_boxes: jax.Array,      # (G, 7)
+        gt_classes: jax.Array,    # (G,) int32, 1-based
+        gt_valid: jax.Array,      # (G,) bool
+        anchors_mask: jax.Array,  # (A,) bool
+    ) -> TargetAssignment:
+        labels_l, targets_l, weights_l, dir_l = [], [], [], []
+        for ci, ((a, b), anchors, anchors_bv, (mth, uth)) in enumerate(
+            zip(ranges, class_anchors, class_anchors_bv, thresholds)
+        ):
+            cls_valid = gt_valid & (gt_classes == ci + 1)
+            lab, tgt, w, d = _assign_one_class(
+                anchors, anchors_bv, anchors_mask[a:b], gt_boxes, cls_valid, mth, uth
+            )
+            labels_l.append(lab)
+            targets_l.append(tgt)
+            weights_l.append(w)
+            dir_l.append(d)
+        return TargetAssignment(
+            labels=jnp.concatenate(labels_l),
+            bbox_targets=jnp.concatenate(targets_l),
+            bbox_outside_weights=jnp.concatenate(weights_l),
+            dir_targets=jnp.concatenate(dir_l),
+        )
+
+    return assign
+
+
+def pad_gt(
+    cfg: Config, gt_boxes: np.ndarray, gt_classes: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host helper: pad variable gt to (max_gt_boxes, ...) static shapes."""
+    g = cfg.max_gt_boxes
+    n = min(gt_boxes.shape[0], g)
+    boxes = np.zeros((g, 7), np.float32)
+    boxes[:, 3:6] = 1.0  # keep masked log terms finite
+    classes = np.zeros((g,), np.int32)
+    valid = np.zeros((g,), bool)
+    boxes[:n] = gt_boxes[:n]
+    classes[:n] = gt_classes[:n]
+    valid[:n] = True
+    return boxes, classes, valid

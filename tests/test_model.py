@@ -1,0 +1,108 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from det3d_tpu.anchors import build_anchors
+from det3d_tpu.models.pointpillars import PFN, RPN, SharedHead, scatter_to_bev
+from det3d_tpu.pipeline import Detector
+from helpers import small_cfg, random_cloud
+
+
+class TestPFN:
+    def test_decoration_and_masking(self):
+        """Cluster-mean / center offsets computed by hand for one pillar."""
+        pfn = PFN(voxel_size=(1.0, 1.0, 11.0), offset=(-8.0, -8.0, -2.5),
+                  compute_dtype=jnp.float32)
+        voxels = np.zeros((1, 2, 3, 4), np.float32)
+        voxels[0, 0, 0] = [0.2, 0.4, 1.0, 0.5]
+        voxels[0, 0, 1] = [0.4, 0.2, 2.0, 0.7]
+        num = np.array([[2, 0]], np.int32)
+        coors = np.array([[[8, 8, 0], [-1, -1, -1]]], np.int32)
+
+        variables = pfn.init(jax.random.PRNGKey(0), voxels, num, coors, False)
+        out = pfn.apply(variables, voxels, num, coors, False)
+        assert out.shape == (1, 2, 64)
+        # empty pillar must be exactly zero
+        np.testing.assert_array_equal(np.asarray(out[0, 1]), 0.0)
+
+    def test_empty_pillar_does_not_pollute_bn_stats(self):
+        pfn = PFN(voxel_size=(1.0, 1.0, 11.0), offset=(-8.0, -8.0, -2.5),
+                  compute_dtype=jnp.float32)
+        r = np.random.RandomState(0)
+        voxels = r.randn(1, 8, 3, 4).astype(np.float32)
+        num = np.array([[3, 3, 3, 3, 0, 0, 0, 0]], np.int32)
+        coors = np.zeros((1, 8, 3), np.int32)
+        variables = pfn.init(jax.random.PRNGKey(0), voxels, num, coors, True)
+        _, updates = pfn.apply(
+            variables, voxels, num, coors, True, mutable=["batch_stats"]
+        )
+        # doubling the number of *empty* pillars must not change batch stats
+        voxels2 = np.concatenate([voxels, np.zeros_like(voxels)], axis=1)
+        num2 = np.concatenate([num, np.zeros_like(num)], axis=1)
+        coors2 = np.concatenate([coors, np.zeros_like(coors)], axis=1)
+        _, updates2 = pfn.apply(
+            variables, voxels2, num2, coors2, True, mutable=["batch_stats"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(updates["batch_stats"]["pfn_bn"]["mean"]),
+            np.asarray(updates2["batch_stats"]["pfn_bn"]["mean"]),
+            rtol=1e-5,
+        )
+
+
+class TestScatter:
+    def test_scatter_and_drop(self):
+        feats = np.arange(12, dtype=np.float32).reshape(1, 3, 4)
+        coors = np.array([[[1, 2, 0], [3, 0, 0], [-1, -1, -1]]], np.int32)
+        canvas = np.asarray(scatter_to_bev(jnp.asarray(feats), jnp.asarray(coors), (4, 4)))
+        np.testing.assert_array_equal(canvas[0, 1, 2], feats[0, 0])
+        np.testing.assert_array_equal(canvas[0, 3, 0], feats[0, 1])
+        assert canvas.sum() == feats[0, :2].sum()  # dropped row contributes nothing
+
+
+class TestRPN:
+    def test_output_shape(self):
+        rpn = RPN(compute_dtype=jnp.float32)
+        x = jnp.zeros((1, 16, 16, 64))
+        variables = rpn.init(jax.random.PRNGKey(0), x)
+        out = rpn.apply(variables, x)
+        assert out.shape == (1, 8, 8, 320)
+
+
+class TestHeadOrdering:
+    def test_anchor_major_layout(self):
+        """A delta at one (x, y) location must land at flat indices
+        a*H*W + x*W + y for every anchor a — the anchors.py contract."""
+        h = w = 8
+        a = 9
+        head = SharedHead(num_anchor_per_loc=a, compute_dtype=jnp.float32)
+        x = jnp.zeros((1, h, w, 16))
+        variables = head.init(jax.random.PRNGKey(0), x)
+        xi, yi = 3, 5
+        x = x.at[0, xi, yi, :].set(1.0)
+        out = head.apply(variables, x)
+        base = head.apply(variables, jnp.zeros_like(x))
+        diff = np.abs(np.asarray(out["cls_preds"] - base["cls_preds"]))[0, :, 0]
+        hit = np.nonzero(diff > 1e-9)[0]
+        expected = np.array([ai * h * w + xi * w + yi for ai in range(a)])
+        np.testing.assert_array_equal(np.sort(hit), expected)
+
+
+class TestEndToEnd:
+    def test_infer_shapes_and_validity(self):
+        cfg = small_cfg()
+        det = Detector(cfg)
+        variables = det.init_variables(jax.random.PRNGKey(0))
+        pts, n = det.pad_points(random_cloud(200))
+        out = det.infer(variables, jnp.asarray(pts), jnp.asarray(n))
+        assert out.boxes.shape == (3, 300, 7)
+        assert out.scores.shape == (3, 300)
+        assert out.valid.shape == (3, 300)
+        # valid detections (random weights) must carry finite boxes
+        v = np.asarray(out.valid)
+        assert np.isfinite(np.asarray(out.boxes)[v]).all()
+
+    def test_anchor_count_matches(self):
+        cfg = small_cfg()
+        aset = build_anchors(cfg)
+        assert aset.num_anchors == cfg.num_anchors == 5 * 8 * 8

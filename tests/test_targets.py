@@ -1,0 +1,100 @@
+import numpy as np
+import pytest
+
+from det3d_tpu.anchors import build_anchors
+from det3d_tpu.targets import make_target_assigner, pad_gt
+from helpers import small_cfg
+import np_ref
+
+
+def make_gt(cfg, boxes_and_classes):
+    boxes = np.array([b for b, _ in boxes_and_classes], np.float32).reshape(-1, 7)
+    classes = np.array([c for _, c in boxes_and_classes], np.int32)
+    return pad_gt(cfg, boxes, classes)
+
+
+def assign_ref_all(cfg, aset, anchors_mask, gt_boxes, gt_classes):
+    """Run the numpy oracle per class and concatenate, like the reference's
+    loop over class_masks."""
+    labels_l, targets_l, weights_l, dir_l = [], [], [], []
+    for ci, spec in enumerate(cfg.class_specs):
+        a0, a1 = aset.class_ranges[spec.name]
+        mask = gt_classes == ci + 1
+        lab, tgt, w, d = np_ref.assign_targets_ref(
+            aset.anchors[a0:a1], aset.anchors_bv[a0:a1], anchors_mask[a0:a1],
+            gt_boxes[mask], spec.matched_threshold, spec.unmatched_threshold,
+        )
+        labels_l.append(lab)
+        targets_l.append(tgt)
+        weights_l.append(w)
+        dir_l.append(d)
+    return (
+        np.concatenate(labels_l),
+        np.concatenate(targets_l),
+        np.concatenate(weights_l),
+        np.concatenate(dir_l),
+    )
+
+
+class TestTargets:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_vs_oracle_random(self, seed):
+        cfg = small_cfg()
+        aset = build_anchors(cfg)
+        assigner = make_target_assigner(cfg, aset)
+        r = np.random.RandomState(seed)
+
+        gt_raw = np.zeros((5, 7), np.float32)
+        gt_raw[:, :2] = r.uniform(-6, 6, (5, 2))
+        gt_raw[:, 2] = r.uniform(-1, 1, 5)
+        gt_raw[:, 3:6] = r.uniform(0.8, 5.0, (5, 3))
+        gt_raw[:, 6] = r.uniform(-np.pi, np.pi, 5)
+        gt_classes_raw = r.randint(1, 4, 5).astype(np.int32)
+
+        anchors_mask = r.rand(aset.num_anchors) > 0.3
+
+        boxes, classes, valid = pad_gt(cfg, gt_raw, gt_classes_raw)
+        out = assigner(boxes, classes, valid, anchors_mask)
+
+        ref = assign_ref_all(cfg, aset, anchors_mask, gt_raw, gt_classes_raw)
+        np.testing.assert_array_equal(np.asarray(out.labels), ref[0])
+        np.testing.assert_allclose(np.asarray(out.bbox_targets), ref[1], rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out.bbox_outside_weights), ref[2])
+        np.testing.assert_array_equal(np.asarray(out.dir_targets), ref[3])
+
+    def test_no_gt_all_background(self):
+        cfg = small_cfg()
+        aset = build_anchors(cfg)
+        assigner = make_target_assigner(cfg, aset)
+        boxes, classes, valid = pad_gt(cfg, np.zeros((0, 7), np.float32), np.zeros((0,), np.int32))
+        anchors_mask = np.ones(aset.num_anchors, bool)
+        out = assigner(boxes, classes, valid, anchors_mask)
+        assert (np.asarray(out.labels) == 0).all()
+        assert np.asarray(out.bbox_targets).sum() == 0
+
+    def test_masked_anchors_are_dont_care(self):
+        cfg = small_cfg()
+        aset = build_anchors(cfg)
+        assigner = make_target_assigner(cfg, aset)
+        gt = np.array([[0.0, 0.0, 0.0, 4.6, 2.1, 1.8, 0.0]], np.float32)
+        boxes, classes, valid = pad_gt(cfg, gt, np.array([1], np.int32))
+        anchors_mask = np.zeros(aset.num_anchors, bool)
+        out = assigner(boxes, classes, valid, anchors_mask)
+        assert (np.asarray(out.labels) == -1).all()
+
+    def test_force_match_guarantees_positive(self):
+        """Every valid gt with nonzero overlap gets at least one positive
+        anchor even below the matched threshold."""
+        cfg = small_cfg()
+        aset = build_anchors(cfg)
+        assigner = make_target_assigner(cfg, aset)
+        # tiny vehicle → IoU with the 4.6x2.1 anchors is far below 0.6
+        gt = np.array([[1.3, 0.7, 0.0, 0.9, 0.4, 1.0, 0.3]], np.float32)
+        boxes, classes, valid = pad_gt(cfg, gt, np.array([1], np.int32))
+        anchors_mask = np.ones(aset.num_anchors, bool)
+        out = assigner(boxes, classes, valid, anchors_mask)
+        a0, a1 = aset.class_ranges["vehicle"]
+        labels = np.asarray(out.labels)
+        assert (labels[a0:a1] > 0).sum() >= 1
+        ref = assign_ref_all(cfg, aset, anchors_mask, gt, np.array([1], np.int32))
+        np.testing.assert_array_equal(labels, ref[0])
