@@ -63,7 +63,9 @@ def _postprocess_one_class(
     center_limit: jax.Array,   # (6,)
     params: PostProcessParams,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    k = params.nms_pre_max_size
+    # clamp to the class's (static) anchor count — small classes can have
+    # fewer anchors than nms_pre_max_size
+    k = min(params.nms_pre_max_size, cls_preds.shape[0])
 
     scores = jax.nn.sigmoid(jnp.max(cls_preds.astype(jnp.float32), axis=-1))  # (Ac,)
     gate = anchors_mask & (scores >= params.score_threshold)

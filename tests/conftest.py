@@ -1,9 +1,19 @@
 """Test harness setup: force the CPU backend with 8 virtual devices so
-multi-chip sharding tests run anywhere (mirrors the driver's dryrun)."""
+multi-chip sharding tests run anywhere (mirrors the driver's dryrun).
+
+NOTE: the environment may pre-set JAX_PLATFORMS=axon (a remote TPU tunnel);
+running the whole suite over that tunnel makes every compile take tens of
+seconds. We override unconditionally and also use jax.config.update, which
+wins even if the env var was already consumed.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
