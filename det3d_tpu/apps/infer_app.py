@@ -1,0 +1,115 @@
+"""Offline inference/eval application: the reference's `infer()` entry.
+
+Mirrors reference train.py:187-270: loop over an eval set, per-frame
+detection with the per-stage timing breakdown (pre / net / post), pickle the
+detection annos, then the official mAP at a sweep of range thresholds.
+The stage timing uses utils.timing spans around separately-jitted stages for
+the breakdown run, while the headline latency comes from the fully fused
+points→detections jit (which the reference cannot do — its stages ping-pong
+between host and device).
+"""
+
+from __future__ import annotations
+
+import pickle
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from det3d_tpu.config import Config
+from det3d_tpu.pipeline import Detector
+from det3d_tpu.postprocess import to_annos
+from det3d_tpu.utils.timing import StageTimers
+
+
+def infer(
+    cfg: Config,
+    *,
+    checkpoint: str | None = None,
+    synthetic: bool = False,
+    num_frames: int = 64,
+    range_thresholds: tuple[float, ...] = (80.0, 85.0, 90.0),
+    breakdown: bool = False,
+    out_path: str | None = None,
+    seed: int = 1,
+) -> dict:
+    """Returns {"dt_annos", "gt_annos", "eval_strs", "avg_ms"}."""
+    from det3d_tpu.apps.train_app import _eval_samples
+    from det3d_tpu.eval.ap import get_official_eval_result
+
+    det = Detector(cfg)
+    if checkpoint:
+        from det3d_tpu.train.checkpoint import CheckpointManager
+        from det3d_tpu.train.trainer import Trainer
+
+        trainer = Trainer(cfg, det)
+        template = trainer.init_state(jax.random.PRNGKey(0))
+        state = CheckpointManager(checkpoint).restore_latest(template)
+        if state is None:
+            raise FileNotFoundError(f"no latest checkpoint under {checkpoint}")
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        print(f"loaded checkpoint @ step {int(state.step)}")
+    else:
+        variables = det.init_variables(jax.random.PRNGKey(0))
+        print("WARNING: random weights (no checkpoint given)")
+
+    samples, gt_annos = _eval_samples(cfg, synthetic, num_frames, seed)
+
+    timers = StageTimers()
+    dt_annos = []
+    total = 0.0
+    for i, s in enumerate(samples):
+        pts, n = det.pad_points(s["points"])
+        t0 = time.perf_counter()
+        out = det.infer_jit(variables, pts, n)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        if i > 0:  # skip compile
+            total += dt
+            timers.add("e2e", dt)
+        dt_annos.append(to_annos(cfg, jax.device_get(out)))
+
+    if breakdown:
+        _stage_breakdown(det, variables, samples[0], timers)
+
+    avg_ms = 1e3 * total / max(len(samples) - 1, 1)
+    print(f"avg end-to-end: {avg_ms:.2f} ms/frame   [{timers.report()}]")
+
+    if out_path:
+        with open(out_path, "wb") as f:
+            pickle.dump(dt_annos, f)
+        print(f"wrote {out_path}")
+
+    eval_strs = []
+    for rt in range_thresholds:
+        _, s = get_official_eval_result(gt_annos, dt_annos, list(cfg.detect_class), rt)
+        print(s)
+        eval_strs.append(s)
+    return {"dt_annos": dt_annos, "gt_annos": gt_annos, "eval_strs": eval_strs, "avg_ms": avg_ms}
+
+
+def _stage_breakdown(det: Detector, variables, sample, timers: StageTimers) -> None:
+    """Per-stage latency (reference train.py:244-258 prints the same split)."""
+    from det3d_tpu.utils.timing import time_fn
+
+    pts, n = det.pad_points(sample["points"])
+    pts = jax.device_put(pts)
+    pre = jax.jit(det.preprocess)
+    frame, mask = jax.block_until_ready(pre(pts, n))
+    model = jax.jit(lambda v, a, b, c: det.model.apply(v, a, b, c, train=False))
+    preds = jax.block_until_ready(
+        model(variables, frame.voxels[None], frame.num_points_per_voxel[None], frame.coors[None])
+    )
+    preds1 = {k: v[0] for k, v in preds.items()}
+    post = jax.jit(det.postprocess)
+    jax.block_until_ready(post(preds1, mask))
+
+    for name, fn, args in (
+        ("pre", pre, (pts, n)),
+        ("net", model, (variables, frame.voxels[None], frame.num_points_per_voxel[None], frame.coors[None])),
+        ("post", post, (preds1, mask)),
+    ):
+        t = time_fn(fn, *args, iters=10)
+        timers.add(name, t["p50_ms"] / 1e3)

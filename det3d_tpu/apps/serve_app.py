@@ -1,0 +1,156 @@
+"""Streaming serving loop: the reference's ROS node, TPU-native.
+
+Counterpart of reference ros_node.py:30-89: a producer thread feeds point
+clouds into a bounded queue(2) (dropping stale frames, same backpressure
+policy as the reference's `queue.Queue(maxsize=2)` + drop at :44-50), a
+consumer loop runs the fused detector and reports running end-to-end
+latency. `PointCloudServer` is transport-agnostic — `serve_synthetic` drives
+it from a synthetic-scene generator at a fixed rate; a ROS transport would
+only need to call `server.submit(points)` from its subscriber callback
+(rospy isn't in this environment, so the ROS binding is gated behind
+`make_ros_node`).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+
+import jax
+import numpy as np
+
+from det3d_tpu.config import Config
+from det3d_tpu.pipeline import Detector
+from det3d_tpu.postprocess import to_annos
+
+
+class PointCloudServer:
+    """Bounded-queue streaming inference (reference ros_node.py:52-83)."""
+
+    def __init__(self, cfg: Config, variables, *, queue_size: int = 2):
+        self.cfg = cfg
+        self.detector = Detector(cfg)
+        self.variables = variables
+        self.queue: queue.Queue = queue.Queue(maxsize=queue_size)
+        self.latencies: list[float] = []
+        self._stop = threading.Event()
+
+    def submit(self, points: np.ndarray, stamp: float | None = None) -> bool:
+        """Producer side: enqueue a frame, dropping the oldest when full
+        (the reference drops the new frame, ros_node.py:44-50; dropping the
+        stale one is strictly better for a real-time consumer)."""
+        item = (points, stamp if stamp is not None else time.perf_counter())
+        try:
+            self.queue.put_nowait(item)
+            return True
+        except queue.Full:
+            try:
+                self.queue.get_nowait()
+            except queue.Empty:
+                pass
+            try:
+                self.queue.put_nowait(item)
+                return True
+            except queue.Full:
+                return False
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def warmup(self) -> None:
+        pts = np.zeros((self.cfg.max_points, self.cfg.num_point_features), np.float32)
+        jax.block_until_ready(
+            self.detector.infer_jit(self.variables, pts, np.int32(0))
+        )
+
+    def spin(self, max_frames: int | None = None, on_result=None) -> None:
+        """Consumer loop (reference ros_node.py:61-83)."""
+        served = 0
+        while not self._stop.is_set():
+            if max_frames is not None and served >= max_frames:
+                break
+            try:
+                points, stamp = self.queue.get(timeout=0.5)
+            except queue.Empty:
+                continue
+            padded, n = self.detector.pad_points(points)
+            det = self.detector.infer_jit(self.variables, padded, n)
+            annos = to_annos(self.cfg, jax.device_get(det))
+            latency = time.perf_counter() - stamp
+            self.latencies.append(latency)
+            served += 1
+            if on_result is not None:
+                on_result(annos, latency)
+            if served % 20 == 0:
+                avg = float(np.mean(self.latencies[-100:])) * 1e3
+                print(f"served {served} frames, avg latency {avg:.1f} ms ({len(annos['name'])} dets)")
+
+
+def serve_synthetic(
+    cfg: Config, *, checkpoint: str | None = None, frames: int = 100, hz: float = 10.0
+) -> list[float]:
+    """Drive the server from a synthetic sensor at `hz` frames/sec."""
+    from det3d_tpu.data.synthetic import sample_scene
+
+    if checkpoint:
+        from det3d_tpu.train.checkpoint import CheckpointManager
+        from det3d_tpu.train.trainer import Trainer
+
+        trainer = Trainer(cfg)
+        state = CheckpointManager(checkpoint).restore_latest(
+            trainer.init_state(jax.random.PRNGKey(0))
+        )
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        server = PointCloudServer(cfg, variables)
+        server.detector = trainer.detector
+    else:
+        det = Detector(cfg)
+        variables = det.init_variables(jax.random.PRNGKey(0))
+        server = PointCloudServer(cfg, variables)
+        server.detector = det
+
+    server.warmup()
+    rng = np.random.RandomState(0)
+
+    def producer():
+        period = 1.0 / hz
+        for _ in range(frames):
+            if server._stop.is_set():
+                return
+            scene = sample_scene(cfg, rng)
+            server.submit(scene["points"])
+            time.sleep(period)
+        server.stop()
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    server.spin()
+    t.join()
+    lat = np.asarray(server.latencies) * 1e3
+    if len(lat):
+        print(
+            f"latency over {len(lat)} frames: p50 {np.percentile(lat, 50):.1f} ms  "
+            f"p95 {np.percentile(lat, 95):.1f} ms  max {lat.max():.1f} ms"
+        )
+    return server.latencies
+
+
+def make_ros_node(cfg: Config, variables, topic: str = "/combined_lidar"):
+    """ROS binding (only if rospy is importable; reference ros_node.py:30-59)."""
+    import rospy  # noqa: F401  (gated: not present in this environment)
+    import sensor_msgs.point_cloud2 as pc2
+    from sensor_msgs.msg import PointCloud2
+
+    server = PointCloudServer(cfg, variables)
+
+    def callback(msg):
+        pts = np.array(
+            list(pc2.read_points(msg, field_names=("x", "y", "z", "intensity"))),
+            np.float32,
+        )
+        server.submit(pts)
+
+    rospy.init_node("det3d_tpu")
+    rospy.Subscriber(topic, PointCloud2, callback, queue_size=1)
+    return server

@@ -1,0 +1,152 @@
+"""Command-line entry points.
+
+The reference drives everything through editing `train.py`'s `__main__`
+(reference train.py:579-583 hard-calls `trt_eval()`); here the five entry
+functions are subcommands:
+
+    python -m det3d_tpu.cli train  --config configs/ntusl_20cm.json [--synthetic]
+    python -m det3d_tpu.cli infer  --config ... [--checkpoint DIR] [--breakdown]
+    python -m det3d_tpu.cli eval   --config ... --dt dt.pkl --gt gt.pkl
+    python -m det3d_tpu.cli export --config ... [--checkpoint DIR] --out DIR
+    python -m det3d_tpu.cli serve  --config ... [--checkpoint DIR]
+    python -m det3d_tpu.cli create-info --root DATA_ROOT [--waymo]
+    python -m det3d_tpu.cli bench-rpn --config ...
+
+Mapping to the reference: train→train.py:23, infer→train.py:187 (+ trt_eval
+273, which on TPU is `infer --exported`), export→train.py:348 trt_export,
+serve→ros_node.py, create-info→create_info.py, bench-rpn→rpn_builder.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from det3d_tpu.config import load_config
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="det3d_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def add_common(p):
+        p.add_argument("--config", default="configs/ntusl_20cm.json")
+        p.add_argument("--max-points", type=int, default=120_000)
+        p.add_argument("--synthetic", action="store_true", help="generated scenes instead of dataset files")
+
+    p = sub.add_parser("train", help="training loop (reference train.py:23)")
+    add_common(p)
+    p.add_argument("--steps", type=int, default=10_000_000)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--model-dir", default=None)
+    p.add_argument("--save-step", type=int, default=5000)
+    p.add_argument("--eval-step", type=int, default=5000)
+    p.add_argument("--display-step", type=int, default=50)
+    p.add_argument("--eval-frames", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+
+    p = sub.add_parser("infer", help="offline eval + timing (reference train.py:187)")
+    add_common(p)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--exported", default=None, help="run from an AOT-exported artifact dir")
+    p.add_argument("--frames", type=int, default=64)
+    p.add_argument("--breakdown", action="store_true")
+    p.add_argument("--out", default=None)
+
+    p = sub.add_parser("eval", help="official mAP from pickled annos (reference eval/)")
+    add_common(p)
+    p.add_argument("--dt", required=True)
+    p.add_argument("--gt", required=True)
+    p.add_argument("--range", type=float, default=80.0)
+
+    p = sub.add_parser("export", help="AOT-compile + serialize (reference train.py:348 trt_export)")
+    add_common(p)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("serve", help="streaming serving loop (reference ros_node.py)")
+    add_common(p)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--frames", type=int, default=100)
+    p.add_argument("--hz", type=float, default=10.0)
+
+    p = sub.add_parser("create-info", help="dataset indexer (reference create_info.py)")
+    p.add_argument("--root", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--waymo", action="store_true")
+    p.add_argument("--num-features", type=int, default=4)
+
+    p = sub.add_parser("bench-rpn", help="RPN microbenchmark (reference rpn_builder.py)")
+    add_common(p)
+    p.add_argument("--iters", type=int, default=100)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "create-info":
+        from det3d_tpu.data.create_info import create_info
+
+        create_info(args.root, out_path=args.out, waymo=args.waymo, num_features=args.num_features)
+        return
+
+    cfg = load_config(args.config, max_points=args.max_points)
+
+    if args.cmd == "train":
+        if args.batch_size:
+            cfg = cfg.replace(batch_size=args.batch_size)
+        from det3d_tpu.apps.train_app import train
+
+        train(
+            cfg,
+            max_steps=args.steps,
+            display_step=args.display_step,
+            save_step=args.save_step,
+            eval_step=args.eval_step,
+            eval_frames=args.eval_frames,
+            synthetic=args.synthetic,
+            model_dir=args.model_dir,
+            seed=args.seed,
+        )
+    elif args.cmd == "infer":
+        if args.exported:
+            from det3d_tpu.deploy.runtime import infer_exported
+
+            infer_exported(
+                cfg, args.exported, synthetic=args.synthetic, num_frames=args.frames
+            )
+        else:
+            from det3d_tpu.apps.infer_app import infer
+
+            infer(
+                cfg,
+                checkpoint=args.checkpoint,
+                synthetic=args.synthetic,
+                num_frames=args.frames,
+                breakdown=args.breakdown,
+                out_path=args.out,
+            )
+    elif args.cmd == "eval":
+        import pickle
+
+        from det3d_tpu.eval.ap import get_official_eval_result
+
+        with open(args.dt, "rb") as f:
+            dt_annos = pickle.load(f)
+        with open(args.gt, "rb") as f:
+            gt_annos = pickle.load(f)
+        _, s = get_official_eval_result(gt_annos, dt_annos, list(cfg.detect_class), args.range)
+        print(s)
+    elif args.cmd == "export":
+        from det3d_tpu.deploy.export import export_detector
+
+        export_detector(cfg, checkpoint=args.checkpoint, out_dir=args.out)
+    elif args.cmd == "serve":
+        from det3d_tpu.apps.serve_app import serve_synthetic
+
+        serve_synthetic(cfg, checkpoint=args.checkpoint, frames=args.frames, hz=args.hz)
+    elif args.cmd == "bench-rpn":
+        from det3d_tpu.deploy.rpn_bench import bench_rpn
+
+        bench_rpn(cfg, iters=args.iters)
+
+
+if __name__ == "__main__":
+    main()

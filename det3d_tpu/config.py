@@ -201,10 +201,16 @@ def load_config(path: str | Path | dict, **overrides: Any) -> Config:
     def tup(v):
         return tuple(v) if isinstance(v, (list, tuple)) else v
 
+    # feature map size: JSON value if present, else derived from the voxel
+    # grid at the head's half resolution (the reference always pairs an
+    # 800x800 grid with a 400x400 feature map — configs/ntusl_20cm.json:19-22)
+    fms_raw = get("feature_map_size", None)
+
     cfg = Config(
         data_root=get("data_root", ""),
         model_path=get("model_path", ""),
         train_info=tup(get("train_info", ())),
+        # (feature_map_size patched below once grid_size is derived)
         eval_info=tup(get("eval_info", ())),
         dt_info=get("dt_info", "dt_info.pkl"),
         experiment=get("experiment", "default"),
@@ -213,7 +219,7 @@ def load_config(path: str | Path | dict, **overrides: Any) -> Config:
         num_workers=int(get("num_workers", 0)),
         learning_rate=float(get("learning_rate", 5e-4)),
         create_mask_gpu=int(get("create_mask_gpu", 1)),
-        feature_map_size=tup(get("feature_map_size", (400, 400, 1))),
+        feature_map_size=tup(fms_raw) if fms_raw is not None else (400, 400, 1),
         detection_range_raw=tup(get("detection_range", (-80.0, -80.0, -2.5, 80.0, 80.0, 8.5))),
         center_limit=tup(get("center_limit", (-80.0, -80.0, -10.0, 80.0, 80.0, 10.0))),
         voxel_size=tup(get("voxel_size", (0.2, 0.2, 11.0))),
@@ -226,4 +232,13 @@ def load_config(path: str | Path | dict, **overrides: Any) -> Config:
         max_gt_boxes=int(get("max_gt_boxes", 64)),
         compute_dtype=get("compute_dtype", "bfloat16"),
     )
-    return _with_derived(cfg)
+    cfg = _with_derived(cfg)
+    fms = (
+        tuple(fms_raw)
+        if fms_raw is not None
+        else (cfg.grid_size[0] // 2, cfg.grid_size[1] // 2, 1)
+    )
+    specs = tuple(
+        dataclasses.replace(s, feature_map_size=fms) for s in cfg.class_specs
+    )
+    return dataclasses.replace(cfg, feature_map_size=fms, class_specs=specs)

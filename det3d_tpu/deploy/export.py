@@ -1,0 +1,73 @@
+"""AOT export: compile the fused detector once, serialize the artifact.
+
+TPU-native counterpart of the reference's deployment path (reference:
+framework/trt_utils.py:6-47 `export_onnx`/`build_engine`/`load_engine`,
+train.py:348-424 `trt_export`). The reference exports each network stage to
+ONNX and builds per-stage TensorRT FP16 engines with a dynamic-shape profile
+for the PFN; on TPU the natural unit is the whole points→detections function:
+`jax.export` serializes the StableHLO of the fully fused pipeline (shapes are
+already static by design — the pad-to-max contract replaces TRT dynamic
+profiles), and weights are saved alongside so the artifact is self-contained.
+
+Artifact layout (`out_dir/`):
+    detector.stablehlo   — serialized jax.export artifact of infer(variables, points, n)
+    variables.msgpack    — flax-serialized weights
+    config.json          — the exact config used (for host pre/post parity)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+from jax import export as jax_export
+
+from det3d_tpu.config import Config
+from det3d_tpu.pipeline import Detector
+
+
+def _config_json(cfg: Config) -> str:
+    d = dataclasses.asdict(cfg)
+    d["class_specs"] = [dataclasses.asdict(s) for s in cfg.class_specs]
+    return json.dumps(d, indent=1)
+
+
+def export_detector(
+    cfg: Config, *, checkpoint: str | None = None, out_dir: str | Path
+) -> Path:
+    """AOT-export the fused inference function + weights."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    det = Detector(cfg)
+    if checkpoint:
+        from det3d_tpu.train.checkpoint import CheckpointManager
+        from det3d_tpu.train.trainer import Trainer
+
+        trainer = Trainer(cfg, det)
+        state = CheckpointManager(checkpoint).restore_latest(
+            trainer.init_state(jax.random.PRNGKey(0))
+        )
+        if state is None:
+            raise FileNotFoundError(f"no latest checkpoint under {checkpoint}")
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+    else:
+        variables = det.init_variables(jax.random.PRNGKey(0))
+
+    pts_spec = jax.ShapeDtypeStruct((cfg.max_points, cfg.num_point_features), jnp.float32)
+    n_spec = jax.ShapeDtypeStruct((), jnp.int32)
+    var_specs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)), variables
+    )
+
+    exported = jax_export.export(jax.jit(det.infer))(var_specs, pts_spec, n_spec)
+    (out / "detector.stablehlo").write_bytes(exported.serialize())
+    (out / "variables.msgpack").write_bytes(serialization.to_bytes(variables))
+    (out / "config.json").write_text(_config_json(cfg))
+    print(f"exported detector ({cfg.max_points} pts, platform {exported.platforms}) → {out}")
+    return out

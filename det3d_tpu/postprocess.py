@@ -54,6 +54,17 @@ class Detections(NamedTuple):
     valid: jax.Array     # (num_classes, post_max) bool
 
 
+# allow Detections across the jax.export AOT boundary (deploy/export.py)
+try:
+    from jax import export as _jax_export
+
+    _jax_export.register_namedtuple_serialization(
+        Detections, serialized_name="det3d_tpu.Detections"
+    )
+except Exception:  # pragma: no cover - older jax without namedtuple serialization
+    pass
+
+
 def _postprocess_one_class(
     cls_preds: jax.Array,      # (Ac, 1) logits
     box_preds: jax.Array,      # (Ac, 7)
