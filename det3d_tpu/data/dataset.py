@@ -137,3 +137,33 @@ class DetectionDataset:
         if shuffle:
             self.rng.shuffle(order)
         return order
+
+    def iter_points_native(self, order: np.ndarray | None = None, num_threads: int = 4):
+        """Yield (info, padded_points, n) with disk IO in native C++ threads
+        (runtime/pointcloud_loader.cc) overlapping the consumer's device work.
+        Inference-path counterpart of the reference's DataLoader workers;
+        training still uses __getitem__ (augmentation needs the gt)."""
+        from det3d_tpu.data.native_loader import AsyncPointCloudLoader, available
+
+        idxs = order if order is not None else np.arange(len(self))
+        if not available():
+            for i in idxs:
+                info = self.infos[i]
+                pts = self.load_points(info)
+                n = min(len(pts), self.cfg.max_points)
+                out = np.zeros((self.cfg.max_points, pts.shape[1]), np.float32)
+                out[:n] = pts[:n]
+                yield info, out, n
+            return
+        with AsyncPointCloudLoader(
+            self.cfg.max_points,
+            self.cfg.num_point_features,
+            queue_depth=8,
+            num_threads=num_threads,
+        ) as ld:
+            for i in idxs:
+                ld.submit(self.data_root / self.infos[i]["velodyne_path"])
+            ld.finish()
+            for i in idxs:
+                pts, n = ld.next()
+                yield self.infos[i], pts, n
