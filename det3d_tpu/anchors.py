@@ -45,6 +45,8 @@ class AnchorSet:
     matched_threshold: np.ndarray  # (A,) float32
     unmatched_threshold: np.ndarray  # (A,) float32
     class_ranges: dict             # name -> (start, end) into the flat set
+    config_ranges: tuple           # ((start, fx, fy), ...) per (class,size,rot) grid
+    mask_index_vectors: tuple | None  # separable SAT row/col vectors (see ops.anchor_mask)
 
     @property
     def num_anchors(self) -> int:
@@ -84,6 +86,7 @@ def build_anchors(cfg: Config) -> AnchorSet:
     class_ranges: dict[str, tuple[int, int]] = {}
     start = 0
 
+    config_ranges = []
     for spec in cfg.class_specs:
         cls_anchors = []
         for size in spec.sizes:
@@ -93,6 +96,10 @@ def build_anchors(cfg: Config) -> AnchorSet:
             for rotation in spec.rotations:
                 cls_anchors.append(
                     _generate_one(size, rotation, spec.feature_map_size, strides, cfg.detection_offset)
+                )
+                config_ranges.append(
+                    (start + sum(a.shape[0] for a in cls_anchors[:-1]),
+                     int(spec.feature_map_size[0]), int(spec.feature_map_size[1]))
                 )
         cls_anchors = np.concatenate(cls_anchors, axis=0)
         n = cls_anchors.shape[0]
@@ -107,6 +114,9 @@ def build_anchors(cfg: Config) -> AnchorSet:
     corner_cells = anchor_corner_cells(
         anchors_bv, cfg.voxel_size, cfg.detection_offset, cfg.grid_size
     )
+    from det3d_tpu.ops.anchor_mask import separable_corner_index_vectors
+
+    vectors = separable_corner_index_vectors(corner_cells, config_ranges)
     return AnchorSet(
         anchors=anchors,
         anchors_bv=anchors_bv,
@@ -114,4 +124,6 @@ def build_anchors(cfg: Config) -> AnchorSet:
         matched_threshold=np.concatenate(matched_list),
         unmatched_threshold=np.concatenate(unmatched_list),
         class_ranges=class_ranges,
+        config_ranges=tuple(config_ranges),
+        mask_index_vectors=tuple(vectors) if vectors is not None else None,
     )

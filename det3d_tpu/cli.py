@@ -69,6 +69,15 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--frames", type=int, default=100)
     p.add_argument("--hz", type=float, default=10.0)
 
+    p = sub.add_parser("view", help="render BEV scene frames (reference viewer.py)")
+    add_common(p)
+    p.add_argument("--info", default="data_info.pkl")
+    p.add_argument("--dt", default=None)
+    p.add_argument("--frames", default="0:1", help="start:stop frame slice")
+    p.add_argument("--out", default="shots/")
+    p.add_argument("--anchors", action="store_true")
+    p.add_argument("--voxels", action="store_true")
+
     p = sub.add_parser("create-info", help="dataset indexer (reference create_info.py)")
     p.add_argument("--root", required=True)
     p.add_argument("--out", default=None)
@@ -134,6 +143,16 @@ def main(argv: list[str] | None = None) -> None:
             gt_annos = pickle.load(f)
         _, s = get_official_eval_result(gt_annos, dt_annos, list(cfg.detect_class), args.range)
         print(s)
+    elif args.cmd == "view":
+        from det3d_tpu.viewer.app import SceneViewer
+
+        viewer = SceneViewer(cfg, info_path=args.info, dt_path=args.dt)
+        start, stop = (int(v) for v in args.frames.split(":"))
+        paths = viewer.export_frames(
+            range(start, min(stop, len(viewer))), args.out,
+            show_anchors=args.anchors, show_voxels=args.voxels,
+        )
+        print(f"wrote {len(paths)} frames → {args.out}")
     elif args.cmd == "export":
         from det3d_tpu.deploy.export import export_detector
 

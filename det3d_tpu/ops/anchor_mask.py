@@ -78,3 +78,67 @@ def compute_anchors_mask(
     """Fused pillar-coords → per-anchor occupancy mask (the whole GPU path of
     reference framework/box_np_ops.py:240-257 in one jit-able call)."""
     return anchors_mask_from_sat(occupancy_sat(coors, grid_xy), corner_cells)
+
+
+# ---------------------------------------------------------------------------
+# Separable fast path
+# ---------------------------------------------------------------------------
+#
+# The per-element SAT gather above costs ~60 ms/frame on TPU (random-index
+# gathers over 1.44 M anchors serialize badly). But each (class, size, rot)
+# anchor config is a regular (fx, fy) grid with a fixed box extent, so its
+# corner cells are separable: minx/maxx depend only on the grid row i,
+# miny/maxy only on the column j. The mask of a whole config is then
+#     T = SAT[rows_max] - SAT[rows_min]            # (fx, ny) row takes
+#     M = T[:, cols_max] - T[:, cols_min] > 0      # (fx, fy) column takes
+# — four small contiguous-row gathers per config instead of 5.76 M random
+# lookups. `separable_corner_index_vectors` extracts (and verifies) the
+# structure from the exact corner_cells, so results are bit-identical to
+# `anchors_mask_from_sat`.
+
+
+def separable_corner_index_vectors(
+    corner_cells: np.ndarray, config_ranges
+) -> list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] | None:
+    """Per anchor config: (rows_min, rows_max, cols_min, cols_max) index
+    vectors, or None if any config's cells aren't row/column-separable.
+
+    config_ranges: list of (start, fx, fy) spans into the flat anchor set,
+    each spanning one (class, size, rotation) grid in x-major order.
+    """
+    out = []
+    for start, fx, fy in config_ranges:
+        cells = corner_cells[start : start + fx * fy].reshape(fx, fy, 4)
+        rows_min, cols_min = cells[:, 0, 0], cells[0, :, 1]
+        rows_max, cols_max = cells[:, 0, 2], cells[0, :, 3]
+        ok = (
+            np.array_equal(cells[..., 0], np.broadcast_to(rows_min[:, None], (fx, fy)))
+            and np.array_equal(cells[..., 1], np.broadcast_to(cols_min[None, :], (fx, fy)))
+            and np.array_equal(cells[..., 2], np.broadcast_to(rows_max[:, None], (fx, fy)))
+            and np.array_equal(cells[..., 3], np.broadcast_to(cols_max[None, :], (fx, fy)))
+        )
+        if not ok:
+            return None
+        out.append((rows_min, rows_max, cols_min, cols_max))
+    return out
+
+
+def anchors_mask_from_sat_separable(sat: jax.Array, index_vectors) -> jax.Array:
+    """Separable SAT lookup: same `ID - IB - IC + IA > 0` as
+    anchors_mask_from_sat, evaluated with row/column takes per config."""
+    masks = []
+    for rows_min, rows_max, cols_min, cols_max in index_vectors:
+        t = jnp.take(sat, jnp.asarray(rows_max), axis=0) - jnp.take(
+            sat, jnp.asarray(rows_min), axis=0
+        )  # (fx, ny)
+        m = jnp.take(t, jnp.asarray(cols_max), axis=1) - jnp.take(
+            t, jnp.asarray(cols_min), axis=1
+        )  # (fx, fy)
+        masks.append((m > 0).reshape(-1))
+    return jnp.concatenate(masks)
+
+
+def compute_anchors_mask_separable(
+    coors: jax.Array, index_vectors, grid_xy: tuple[int, int]
+) -> jax.Array:
+    return anchors_mask_from_sat_separable(occupancy_sat(coors, grid_xy), index_vectors)

@@ -20,7 +20,10 @@ import numpy as np
 from det3d_tpu.anchors import AnchorSet, build_anchors
 from det3d_tpu.config import Config
 from det3d_tpu.models.pointpillars import PointPillars
-from det3d_tpu.ops.anchor_mask import compute_anchors_mask
+from det3d_tpu.ops.anchor_mask import (
+    compute_anchors_mask,
+    compute_anchors_mask_separable,
+)
 from det3d_tpu.ops.voxelize import VoxelizerSpec, voxelize
 from det3d_tpu.postprocess import Detections, PostProcessParams, make_postprocessor, to_annos
 
@@ -55,7 +58,14 @@ class Detector:
     def preprocess(self, points: jax.Array, num_points: jax.Array):
         """Voxelize + anchor occupancy mask (replaces InferData.get)."""
         frame = voxelize(points, num_points, self.spec, fcfs=self._fcfs)
-        anchors_mask = compute_anchors_mask(frame.coors, self._corner_cells, self._grid_xy)
+        if self.anchor_set.mask_index_vectors is not None:
+            # separable fast path: row/col SAT takes instead of a 1.44M-element
+            # gather (~60ms → sub-ms on TPU); bit-identical results
+            anchors_mask = compute_anchors_mask_separable(
+                frame.coors, self.anchor_set.mask_index_vectors, self._grid_xy
+            )
+        else:
+            anchors_mask = compute_anchors_mask(frame.coors, self._corner_cells, self._grid_xy)
         return frame, anchors_mask
 
     def infer(self, variables: Any, points: jax.Array, num_points: jax.Array) -> Detections:

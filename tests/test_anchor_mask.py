@@ -67,3 +67,42 @@ class TestCornerCells:
         cells = anchor_corner_cells(bv, (1.0, 1.0, 10.0), (-8.0, -8.0, -5.0), (16, 16, 1))
         np.testing.assert_array_equal(cells[0], [0, 0, 15, 15])
         np.testing.assert_array_equal(cells[1], [8, 8, 9, 9])
+
+
+def test_separable_fast_path_matches_gather_path():
+    """The row/col-take fast path must be bit-identical to the per-anchor
+    SAT gather on the production anchor layout."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from det3d_tpu.anchors import build_anchors
+    from det3d_tpu.config import load_config
+    from det3d_tpu.ops.anchor_mask import (
+        anchors_mask_from_sat,
+        anchors_mask_from_sat_separable,
+        occupancy_sat,
+    )
+
+    cfg = load_config(
+        {
+            "detection_range": [-16.0, -16.0, -2.5, 16.0, 16.0, 8.5],
+            "voxel_size": [0.5, 0.5, 11.0],
+        }
+    )
+    aset = build_anchors(cfg)
+    assert aset.mask_index_vectors is not None, "production layout must be separable"
+
+    rng = np.random.RandomState(0)
+    nx, ny = cfg.grid_size[0], cfg.grid_size[1]
+    coors = np.full((512, 3), -1, np.int32)
+    n = 300
+    coors[:n, 0] = rng.randint(0, nx, n)
+    coors[:n, 1] = rng.randint(0, ny, n)
+    coors[:n, 2] = 0
+
+    sat = occupancy_sat(jnp.asarray(coors), (nx, ny))
+    slow = np.asarray(anchors_mask_from_sat(sat, jnp.asarray(aset.corner_cells)))
+    fast = np.asarray(anchors_mask_from_sat_separable(sat, aset.mask_index_vectors))
+    assert slow.shape == fast.shape == (cfg.num_anchors,)
+    assert slow.any() and not slow.all()
+    np.testing.assert_array_equal(fast, slow)
