@@ -45,17 +45,43 @@ def greedy_nms(
     iou_threshold: float,
     post_max_size: int,
 ) -> jax.Array:                # (K,) bool keep mask (≤ post_max_size set)
-    """Exact greedy NMS on pre-sorted boxes with a fixed output budget."""
+    """Exact greedy NMS on pre-sorted boxes with a fixed output budget.
+
+    Instead of the K-step sequential sweep (the reference's host loop,
+    framework/nms.py:85-102 — latency-poison on TPU at K=1000), run a
+    frontier `while_loop`: every round, KEEP every candidate with no
+    higher-scored *live* overlapper (all such boxes are decided — their
+    potential suppressors are all dead), then kill everything they suppress.
+    The kept set is identical to sequential greedy; rounds needed equal the
+    depth of the suppression chains (a handful in practice), and each round
+    is one (K,K)·(K,) masked matvec on the MXU.
+    """
     k = boxes.shape[0]
     iou = iou_pixel_convention(boxes)
-    overlap = (iou > iou_threshold) & valid[None, :] & valid[:, None]
     idx = jnp.arange(k, dtype=jnp.int32)
+    # overlap[i, j]: higher-scored i suppresses j (strict upper triangle)
+    overlap = (
+        (iou > iou_threshold)
+        & valid[None, :]
+        & valid[:, None]
+        & (idx[:, None] < idx[None, :])
+    )
+    overlap_f = overlap.astype(jnp.float32)
 
-    def body(i, keep):
-        # box i, if still alive, suppresses every later overlapping box
-        suppress = overlap[i] & (idx > i) & keep[i]
-        return keep & ~suppress
+    def cond(state):
+        _, remaining = state
+        return jnp.any(remaining)
 
-    keep = jax.lax.fori_loop(0, k, body, valid)
-    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    return keep & (rank < post_max_size)
+    def body(state):
+        kept, remaining = state
+        rem_f = remaining.astype(jnp.float32)
+        blocked = (rem_f @ overlap_f) > 0.0          # ∃ live higher-scored overlapper
+        ready = remaining & ~blocked                  # decided keeps this round
+        suppressed = (ready.astype(jnp.float32) @ overlap_f) > 0.0
+        return kept | ready, remaining & ~ready & ~suppressed
+
+    kept, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((k,), bool), valid)
+    )
+    rank = jnp.cumsum(kept.astype(jnp.int32)) - 1
+    return kept & (rank < post_max_size)

@@ -46,7 +46,12 @@ def rbbox_corners(rbboxes: jax.Array) -> jax.Array:
 
 def _point_in_quad(px, py, quad):
     """Inclusive projection test (reference point_in_quadrilateral,
-    eval/iou.py:308-325). quad: (..., 4, 2); px/py broadcastable."""
+    eval/iou.py:308-325). quad: (..., 4, 2); px/py broadcastable.
+
+    Robustness divergence from the reference: bounds carry a relative epsilon
+    so corners ON the quad boundary (e.g. two identical boxes, where the
+    reference kernel degenerates to IoU≈0 on float rounding) test inside;
+    interior results are unaffected."""
     a = quad[..., 0, :]
     ab = quad[..., 1, :] - a
     ad = quad[..., 3, :] - a
@@ -56,7 +61,13 @@ def _point_in_quad(px, py, quad):
     abap = ab[..., 0] * apx + ab[..., 1] * apy
     adad = ad[..., 0] ** 2 + ad[..., 1] ** 2
     adap = ad[..., 0] * apx + ad[..., 1] * apy
-    return (abab >= abap) & (abap >= 0) & (adad >= adap) & (adap >= 0)
+    tol = 1e-6 * (abab + adad)
+    return (
+        (abap >= -tol)
+        & (abap <= abab + tol)
+        & (adap >= -tol)
+        & (adap <= adad + tol)
+    )
 
 
 def _edge_intersections(ca, cb):

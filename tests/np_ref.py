@@ -187,3 +187,90 @@ def assign_targets_ref(anchors, anchors_bv, anchors_mask, gt_boxes,
     weights = unmap(weights, 0)
     dir_targets = ((bbox_targets[:, -1] + anchors[:, -1]) > 0).astype(np.int32)
     return labels, bbox_targets, weights, dir_targets
+
+
+# ---------------------------------------------------------------------------
+# rotated-box IoU oracle (Sutherland–Hodgman clip + shoelace)
+# ---------------------------------------------------------------------------
+
+
+def rbox_corners_ref(box):
+    """[x, y, dx, dy, yaw] → (4, 2) corners in the *iou-kernel* convention
+    (reference eval/iou.py:355-378: x = c·cx + s·cy, y = −s·cx + c·cy —
+    the transpose of the box_np_ops corner rotation; the reference eval
+    path compensates by passing −yaw, see eval/eval.py:252)."""
+    x, y, dx, dy, yaw = box
+    norm = np.array([[-0.5, -0.5], [-0.5, 0.5], [0.5, 0.5], [0.5, -0.5]])
+    corners = norm * np.array([dx, dy])
+    s, c = np.sin(yaw), np.cos(yaw)
+    rot = np.array([[c, -s], [s, c]])
+    return corners @ rot + np.array([x, y])
+
+
+def _clip_polygon(poly, a, b):
+    """Sutherland–Hodgman step: keep the left side of directed edge a→b
+    (clip polygon must be CCW)."""
+    out = []
+    n = len(poly)
+    for i in range(n):
+        p, q = np.asarray(poly[i]), np.asarray(poly[(i + 1) % n])
+        sp = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+        sq = (b[0] - a[0]) * (q[1] - a[1]) - (b[1] - a[1]) * (q[0] - a[0])
+        if sp >= 0:
+            out.append(p)
+        if (sp > 0 and sq < 0) or (sp < 0 and sq > 0):
+            t = sp / (sp - sq)
+            out.append(p + t * (q - p))
+    return out
+
+
+def _poly_area(poly):
+    if len(poly) < 3:
+        return 0.0
+    a = 0.0
+    for i in range(len(poly)):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % len(poly)]
+        a += x1 * y2 - x2 * y1
+    return abs(a) / 2
+
+
+def _ccw(poly):
+    a = 0.0
+    for i in range(len(poly)):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % len(poly)]
+        a += x1 * y2 - x2 * y1
+    return poly if a > 0 else poly[::-1]
+
+
+def rotated_intersection_ref(box_a, box_b):
+    """Exact intersection area of two rotated BEV boxes."""
+    pa = [p for p in _ccw(rbox_corners_ref(box_a))]
+    pb = _ccw(rbox_corners_ref(box_b))
+    poly = pa
+    for i in range(4):
+        poly = _clip_polygon(poly, pb[i], pb[(i + 1) % 4])
+        if not poly:
+            return 0.0
+    return _poly_area(poly)
+
+
+def rotated_iou_ref(boxes, qboxes, criterion=-1):
+    """(N, 5) x (K, 5) rotated IoU matrix; criterion -1 = IoU, 0/1 = inter
+    over area of first/second (reference eval/iou.py devRotateIoUEval)."""
+    n, k = len(boxes), len(qboxes)
+    out = np.zeros((n, k))
+    for i in range(n):
+        for j in range(k):
+            inter = rotated_intersection_ref(boxes[i], qboxes[j])
+            area_a = boxes[i, 2] * boxes[i, 3]
+            area_b = qboxes[j, 2] * qboxes[j, 3]
+            if criterion == -1:
+                denom = area_a + area_b - inter
+            elif criterion == 0:
+                denom = area_a
+            else:
+                denom = area_b
+            out[i, j] = inter / denom if denom > 0 else 0.0
+    return out

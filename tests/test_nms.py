@@ -61,3 +61,22 @@ class TestGreedyNMS:
         expected = inter / (area + area - inter)
         np.testing.assert_allclose(out[0, 1], expected, rtol=1e-6)
         np.testing.assert_allclose(np.diag(out), 1.0, rtol=1e-6)
+
+    def test_suppression_chain_exactness(self):
+        """Chain A>B>C>D where each overlaps only the next: greedy keeps
+        A, C (B killed by A, C revived because B is dead, D killed by C).
+        The frontier while_loop must reproduce this, not over-suppress."""
+        boxes = np.array(
+            [[0, 0, 10, 10], [6, 0, 16, 10], [12, 0, 22, 10], [18, 0, 28, 10]],
+            np.float32,
+        )
+        keep = np.asarray(greedy_nms(boxes, np.ones(4, bool), 0.1, 300))
+        np.testing.assert_array_equal(keep, [True, False, True, False])
+
+    @pytest.mark.parametrize("seed", [10, 11])
+    def test_vs_oracle_dense(self, seed):
+        """Dense overlapping field (deep chains) vs the numpy oracle."""
+        boxes, scores = random_dets(400, seed, spread=15.0)
+        kept = run_device_nms(boxes, scores, 0.1, 300)
+        ref = np_ref.nms_greedy_ref(boxes, scores, 0.1, 300)
+        np.testing.assert_array_equal(np.sort(kept), np.sort(ref))

@@ -1,0 +1,103 @@
+"""End-to-end postprocess parity vs an independent numpy implementation.
+
+Formalizes the reference's own de-facto test mechanism — `infer_v2/v3` run
+the numpy and torch decode/NMS paths side by side and compare
+(reference framework/inference.py:308-356, :603-611).
+"""
+
+import numpy as np
+import pytest
+
+import np_ref
+from det3d_tpu.anchors import build_anchors
+from det3d_tpu.data.augment import box2d_corners_np
+from det3d_tpu.postprocess import PostProcessParams, make_postprocessor, to_annos
+from helpers import small_cfg
+
+
+def postprocess_ref(cfg, anchor_set, preds, anchors_mask, params):
+    """Numpy reimplementation of the per-class pipeline
+    (reference framework/inference.py:26-138)."""
+    cls_all = preds["cls_preds"].reshape(-1, 1)
+    box_all = preds["box_preds"].reshape(-1, 7)
+    dir_all = preds["dir_preds"].reshape(-1, 2)
+    out = []
+    for spec in cfg.class_specs:
+        a, b = anchor_set.class_ranges[spec.name]
+        anchors = anchor_set.anchors[a:b]
+        scores = 1 / (1 + np.exp(-cls_all[a:b].max(-1)))
+        gate = anchors_mask[a:b] & (scores >= params.score_threshold)
+        ms = np.where(gate, scores, -1.0)
+        k = min(params.nms_pre_max_size, len(ms))
+        idx = np.argsort(-ms, kind="stable")[:k]
+        top = ms[idx]
+        valid = top >= 0
+        boxes = np_ref.box_decode_ref(box_all[a:b][idx], anchors[idx])
+        dir_labels = dir_all[a:b][idx].argmax(-1).astype(bool)
+
+        corners = box2d_corners_np(boxes[:, [0, 1, 3, 4, 6]])
+        standup = np.concatenate([corners.min(1), corners.max(1)], -1)
+        keep_idx = np_ref.nms_greedy_ref(
+            standup[valid], top[valid], params.nms_iou_threshold, params.nms_post_max_size
+        )
+        keep = np.zeros(k, bool)
+        keep[np.flatnonzero(valid)[keep_idx]] = True
+
+        opp = (boxes[:, 6] > 0) ^ dir_labels
+        yaw = boxes[:, 6] + np.where(opp, np.pi, 0.0)
+        boxes[:, 6] = yaw - np.floor(yaw / (2 * np.pi) + 0.5) * 2 * np.pi
+
+        cl = np.asarray(cfg.center_limit)
+        keep &= np.any(boxes[:, :3] > cl[:3], 1) & np.any(boxes[:, 3:6] < cl[3:], 1)
+        out.append((boxes[keep], top[keep]))
+    return out
+
+
+class TestPostprocessParity:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_vs_numpy_ref(self, seed):
+        cfg = small_cfg()
+        aset = build_anchors(cfg)
+        params = PostProcessParams()
+        post = make_postprocessor(cfg, aset, params)
+
+        rng = np.random.RandomState(seed)
+        na = cfg.num_anchors
+        # logits scaled so a few hundred anchors pass the 0.05 gate
+        preds = {
+            "cls_preds": (rng.randn(na, 1) * 2 - 3).astype(np.float32),
+            "box_preds": (rng.randn(na, 7) * 0.2).astype(np.float32),
+            "dir_preds": rng.randn(na, 2).astype(np.float32),
+        }
+        mask = rng.rand(na) > 0.3
+
+        det = post({k: v for k, v in preds.items()}, mask)
+        ref = postprocess_ref(cfg, aset, preds, mask, params)
+
+        boxes = np.asarray(det.boxes)
+        scores = np.asarray(det.scores)
+        valid = np.asarray(det.valid)
+        for ci, (ref_boxes, ref_scores) in enumerate(ref):
+            got_boxes = boxes[ci][valid[ci]]
+            got_scores = scores[ci][valid[ci]]
+            assert got_boxes.shape == ref_boxes.shape, (
+                ci, got_boxes.shape, ref_boxes.shape)
+            # both sorted by descending score → direct comparison
+            np.testing.assert_allclose(got_scores, ref_scores, atol=1e-5)
+            np.testing.assert_allclose(got_boxes, ref_boxes, atol=2e-4)
+
+    def test_empty_mask_yields_no_detections(self):
+        cfg = small_cfg()
+        aset = build_anchors(cfg)
+        post = make_postprocessor(cfg, aset)
+        rng = np.random.RandomState(0)
+        na = cfg.num_anchors
+        preds = {
+            "cls_preds": rng.randn(na, 1).astype(np.float32),
+            "box_preds": rng.randn(na, 7).astype(np.float32) * 0.1,
+            "dir_preds": rng.randn(na, 2).astype(np.float32),
+        }
+        det = post(preds, np.zeros(na, bool))
+        assert not np.asarray(det.valid).any()
+        annos = to_annos(cfg, det)
+        assert len(annos["name"]) == 0
