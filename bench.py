@@ -1,9 +1,17 @@
 """End-to-end single-chip benchmark: voxelize → network → decode/NMS.
 
-Measures p50 single-frame latency of the fully-fused inference pipeline on
-the production `ntusl_20cm.json` geometry (800x800 BEV canvas, 16k pillars,
-1.44 M anchors — BASELINE.md workload constants) with a synthetic ~100k-point
-LiDAR-like cloud, and prints ONE JSON line.
+Measures the fully-fused inference pipeline on the production
+`ntusl_20cm.json` geometry (800x800 BEV canvas, 16k pillars, 1.44 M anchors —
+BASELINE.md workload constants) with synthetic ~100k-point LiDAR-like clouds,
+and prints ONE JSON line.
+
+Methodology notes:
+  * distinct clouds are cycled so no layer can cache/dedupe repeat calls;
+  * p50 latency is per-call with a device sync each frame (includes host
+    dispatch — on a tunneled dev chip that adds a fixed RTT the real host
+    wouldn't pay);
+  * throughput is measured pipelined (enqueue all frames, sync once), which
+    hides dispatch latency exactly as a production serving loop would.
 
 vs_baseline compares against the BASELINE.md north-star target of 10 ms p50
 (the reference publishes no numbers; BASELINE.json `published: {}`), so
@@ -21,7 +29,6 @@ def synthetic_cloud(max_points: int, n: int, seed: int = 0) -> np.ndarray:
     plane + scattered verticals."""
     r = np.random.RandomState(seed)
     pts = np.zeros((max_points, 4), np.float32)
-    # radial distances: concentrated near sensor like a spinning lidar
     dist = np.abs(r.randn(n)) * 25.0 + 2.0
     theta = r.uniform(-np.pi, np.pi, n)
     pts[:n, 0] = dist * np.cos(theta)
@@ -38,28 +45,37 @@ def main() -> None:
     from det3d_tpu.pipeline import Detector
 
     num_real_points = 100_000
+    num_clouds = 8
     cfg = load_config("configs/ntusl_20cm.json", max_points=120_000)
     det = Detector(cfg)
     variables = det.init_variables(jax.random.PRNGKey(0))
 
-    pts = synthetic_cloud(cfg.max_points, num_real_points)
-    points = jax.device_put(pts)
+    clouds = [
+        jax.device_put(synthetic_cloud(cfg.max_points, num_real_points, seed=s))
+        for s in range(num_clouds)
+    ]
     n = jax.device_put(np.int32(num_real_points))
 
     fn = det.infer_jit
-    out = fn(variables, points, n)  # compile
-    jax.block_until_ready(out)
+    jax.block_until_ready(fn(variables, clouds[0], n))  # compile
 
-    iters = 50
+    # per-call latency, synced every frame, distinct inputs
+    iters = 48
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
-        out = fn(variables, points, n)
+        out = fn(variables, clouds[i % num_clouds], n)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
-
     p50_ms = float(np.median(times) * 1000)
-    fps = 1000.0 / p50_ms
+
+    # pipelined throughput: enqueue everything, one sync
+    t0 = time.perf_counter()
+    outs = [fn(variables, clouds[i % num_clouds], n) for i in range(iters)]
+    jax.block_until_ready(outs)
+    thru_ms = (time.perf_counter() - t0) / iters * 1000
+    fps = 1000.0 / thru_ms
+
     target_ms = 10.0
     print(
         json.dumps(
@@ -69,7 +85,8 @@ def main() -> None:
                 "unit": "ms",
                 "vs_baseline": round(target_ms / p50_ms, 3),
                 "extra": {
-                    "fps_per_chip": round(fps, 1),
+                    "throughput_ms_per_frame": round(thru_ms, 3),
+                    "fps_per_chip_pipelined": round(fps, 1),
                     "points": num_real_points,
                     "config": "ntusl_20cm",
                     "baseline": "10ms north-star target (reference publishes no numbers)",

@@ -37,6 +37,17 @@ from det3d_tpu.ops import geometry
 from det3d_tpu.ops.nms import greedy_nms
 
 
+def _nms_fn():
+    """Pick the NMS backend: the Pallas kernel on TPU (one dispatch, no XLA
+    loop in the fused graph — the axon AOT compiler chokes on while_loop
+    inside large programs), the XLA frontier loop elsewhere."""
+    if jax.default_backend() == "tpu":
+        from det3d_tpu.kernels.nms_pallas import greedy_nms_pallas
+
+        return greedy_nms_pallas
+    return greedy_nms
+
+
 class PostProcessParams(NamedTuple):
     """Reference inference hyper-parameters (framework/inference.py:13-19)."""
 
@@ -97,7 +108,7 @@ def _postprocess_one_class(
     )
     standup = geometry.corner_to_standup(corners)                      # (k, 4)
 
-    keep = greedy_nms(
+    keep = _nms_fn()(
         standup, valid, params.nms_iou_threshold, params.nms_post_max_size
     )
 
