@@ -113,8 +113,10 @@ def train(
     state = trainer.init_state(jax.random.PRNGKey(seed))
     restored = ckpt.restore_latest(state)
     if restored is not None:
-        state = restored
-        print(f"resumed from step {int(state.step)}")
+        # resume restores params/opt/step but takes the lr from the current
+        # config (reference train.py:69-76 overrides lr on restore)
+        state = Trainer.override_lr(restored, cfg.learning_rate)
+        print(f"resumed from step {int(state.step)} (lr={cfg.learning_rate})")
 
     n_dev = len(jax.devices())
     if n_dev > 1 and cfg.batch_size % n_dev == 0:

@@ -301,3 +301,55 @@ def box_camera_to_lidar(data, r_rect, velo2cam):
     r = data[:, 6:7]
     xyz_lidar = camera_to_lidar(xyz, r_rect, velo2cam)
     return jnp.concatenate([xyz_lidar, w, l, h, r], axis=1)
+
+
+def lidar_to_camera(points, r_rect, velo2cam):
+    """Lidar-frame points → camera frame (reference:
+    framework/box_np_ops.py:1088-1094 inverse of camera_to_lidar)."""
+    points = jnp.asarray(points)
+    num = points.shape[0]
+    if points.shape[-1] == 3:
+        points = jnp.concatenate([points, jnp.ones((num, 1), points.dtype)], axis=-1)
+    camera = points @ (r_rect @ velo2cam).T
+    return camera[..., :3]
+
+
+def box_lidar_to_camera(data, r_rect, velo2cam):
+    """Lidar [x,y,z,w,l,h,r] boxes → camera [x,y,z,l,h,w,r] (inverse of
+    box_camera_to_lidar; reference framework/box_np_ops.py:1097-1105)."""
+    xyz = lidar_to_camera(data[:, 0:3], r_rect, velo2cam)
+    w, l, h = data[:, 3:4], data[:, 4:5], data[:, 5:6]
+    r = data[:, 6:7]
+    return jnp.concatenate([xyz, l, h, w, r], axis=1)
+
+
+def project_to_image(points_3d, proj_mat):
+    """3D camera-frame points → image plane via a 3x4/4x4 projection matrix
+    (reference: framework/box_np_ops.py:956-968)."""
+    points_3d = jnp.asarray(points_3d)
+    shape = points_3d.shape[:-1]
+    pts = jnp.concatenate(
+        [points_3d, jnp.ones(shape + (1,), points_3d.dtype)], axis=-1
+    )
+    p = jnp.asarray(proj_mat)
+    if p.shape == (4, 4):
+        p = p[:3]
+    cam = pts @ p.T
+    return cam[..., :2] / cam[..., 2:3]
+
+
+def corners_to_frustum_mask(points, bbox, proj_mat, r_rect, velo2cam):
+    """Lidar points inside the camera frustum of an image bbox
+    [xmin,ymin,xmax,ymax] (the remove-outside-points pattern, reference
+    framework/box_np_ops.py:988-1007): project points into the image and
+    keep those landing inside the bbox with positive depth."""
+    cam = lidar_to_camera(points[:, :3], r_rect, velo2cam)
+    img = project_to_image(cam, proj_mat)
+    b = jnp.asarray(bbox)
+    return (
+        (cam[:, 2] > 0)
+        & (img[:, 0] >= b[0])
+        & (img[:, 0] <= b[2])
+        & (img[:, 1] >= b[1])
+        & (img[:, 1] <= b[3])
+    )

@@ -54,10 +54,23 @@ class Trainer:
         self.cfg = cfg
         self.detector = detector or Detector(cfg)
         self.assigner = make_target_assigner(cfg, self.detector.anchor_set)
+        # lr lives inside opt_state (inject_hyperparams) so a resumed run can
+        # override it, as the reference does on restore (train.py:76)
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(10.0),
-            optax.adam(cfg.learning_rate),
+            optax.inject_hyperparams(optax.adam)(learning_rate=cfg.learning_rate),
         )
+
+    @staticmethod
+    def override_lr(state: "TrainState", lr: float) -> "TrainState":
+        """Set the learning rate inside a (restored) TrainState."""
+        import jax.numpy as jnp
+
+        inner = state.opt_state[1]
+        hp = dict(inner.hyperparams)
+        hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        new_inner = inner._replace(hyperparams=hp)
+        return state._replace(opt_state=(state.opt_state[0], new_inner))
 
     # -- state -------------------------------------------------------------
     def init_state(self, rng: jax.Array) -> TrainState:

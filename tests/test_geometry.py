@@ -144,3 +144,66 @@ class TestFilterRange:
         lim = np.array([-80, -80, 80, 80], np.float32)
         out = np.asarray(G.filter_gt_box_outside_range(boxes, lim))
         np.testing.assert_array_equal(out, [True, False])
+
+
+class TestCameraTransforms:
+    def _calib(self):
+        import numpy as np
+
+        r_rect = np.eye(4)
+        velo2cam = np.array(
+            [[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1.0]]
+        )
+        proj = np.array(
+            [[720.0, 0, 600, 0], [0, 720.0, 180, 0], [0, 0, 1, 0], [0, 0, 0, 1]]
+        )
+        return r_rect, velo2cam, proj
+
+    def test_camera_lidar_roundtrip(self):
+        import numpy as np
+
+        from det3d_tpu.ops import geometry as g
+
+        r_rect, velo2cam, _ = self._calib()
+        rng = np.random.RandomState(0)
+        pts = rng.randn(50, 3).astype(np.float32) * 10
+        cam = np.asarray(g.lidar_to_camera(pts, r_rect, velo2cam))
+        back = np.asarray(g.camera_to_lidar(cam, r_rect, velo2cam))
+        np.testing.assert_allclose(back, pts, atol=1e-4)
+
+    def test_box_roundtrip(self):
+        import numpy as np
+
+        from det3d_tpu.ops import geometry as g
+
+        r_rect, velo2cam, _ = self._calib()
+        boxes = np.array([[5.0, 2.0, -1.0, 1.8, 4.2, 1.6, 0.3]], np.float32)
+        cam = np.asarray(g.box_lidar_to_camera(boxes, r_rect, velo2cam))
+        back = np.asarray(g.box_camera_to_lidar(cam, r_rect, velo2cam))
+        np.testing.assert_allclose(back, boxes, atol=1e-4)
+
+    def test_projection_center_pixel(self):
+        import numpy as np
+
+        from det3d_tpu.ops import geometry as g
+
+        _, _, proj = self._calib()
+        # a point on the optical axis projects to the principal point
+        img = np.asarray(g.project_to_image(np.array([[0.0, 0, 10.0]]), proj))
+        np.testing.assert_allclose(img[0], [600.0, 180.0], atol=1e-4)
+
+    def test_frustum_mask(self):
+        import numpy as np
+
+        from det3d_tpu.ops import geometry as g
+
+        r_rect, velo2cam, proj = self._calib()
+        pts = np.array(
+            [[10.0, 0, 0, 0],    # dead ahead → center of image
+             [-10.0, 0, 0, 0],   # behind camera
+             [10.0, 50.0, 0, 0]] # far off to the side
+        , np.float32)
+        m = np.asarray(
+            g.corners_to_frustum_mask(pts, [0, 0, 1200, 360], proj, r_rect, velo2cam)
+        )
+        np.testing.assert_array_equal(m, [True, False, False])
