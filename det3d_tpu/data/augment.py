@@ -132,16 +132,22 @@ def noise_per_object(
     valid_mask: np.ndarray | None = None,
     rotation_perturb: float = (5.0 / 180) * np.pi,
     center_noise_std: float = 0.15,
+    global_random_rot_range: float = (2.0 / 180) * np.pi,
     num_try: int = 100,
     rng: np.random.RandomState | None = None,
 ) -> None:
     """In-place per-object pose jitter with collision rejection.
 
-    Reference: framework/augmentation.py:177-212 (noise_per_object) with the
-    default `noise_per_box` path (global rot range below threshold is the
-    live configuration — augmentation.py:196-201 with the 2° default still
-    enables grot in the reference; we implement the simpler rejected-jitter
-    semantics of noise_per_box, the documented intent).
+    Reference: framework/augmentation.py:177-212 (noise_per_object). With the
+    default 2° `global_random_rot_range` the reference takes the
+    `noise_per_box_v2_` path (:122-175): each candidate moves the box along
+    its circle around the sensor origin by a global-rotation noise (radius
+    preserved, yaw co-rotated), then applies the local rotation + translation
+    jitter; on acceptance the circle move is folded into the effective
+    transform, which is applied to the box and (around the ORIGINAL center)
+    to the points of the first containing box (points_transform_ :400-416).
+    The 100-candidate search is vectorized over tries; only the sequential
+    accept/update loop over boxes (N ≲ 50) remains in python.
     """
     rng = rng or np.random.RandomState()
     num_boxes = gt_boxes.shape[0]
@@ -152,47 +158,67 @@ def noise_per_object(
 
     loc_noises = rng.normal(scale=center_noise_std, size=[num_boxes, num_try, 3])
     rot_noises = rng.uniform(-rotation_perturb, rotation_perturb, size=[num_boxes, num_try])
+    grot_noises = rng.uniform(
+        -global_random_rot_range, global_random_rot_range, size=[num_boxes, num_try]
+    )
+    enable_grot = global_random_rot_range > (0.01 / 180) * np.pi
+    if not enable_grot:
+        grot_noises[:] = 0.0
 
     point_masks = points_in_rbbox_np(points, gt_boxes)
 
     boxes_bev = gt_boxes[:, [0, 1, 3, 4, 6]]
     box_corners = box2d_corners_np(boxes_bev)  # evolving state, (N,4,2)
 
+    # effective accepted transforms (loc includes the circle move)
+    eff_loc = np.zeros((num_boxes, 3))
+    eff_rot = np.zeros((num_boxes,))
     success = -np.ones((num_boxes,), np.int64)
+
+    corners_norm = np.array([[0, 0], [0, 1], [1, 1], [1, 0]], np.float64) - 0.5
     for i in range(num_boxes):
         if not valid_mask[i]:
             continue
-        # all candidate corner sets for box i, vectorized over tries
-        base = box_corners[i] - boxes_bev[i, :2]  # (4,2) centered current corners
-        s = np.sin(rot_noises[i])
-        c = np.cos(rot_noises[i])
+        # circle move around the origin per candidate (noise_per_box_v2_)
+        radius = np.hypot(boxes_bev[i, 0], boxes_bev[i, 1])
+        grot0 = np.arctan2(boxes_bev[i, 1], boxes_bev[i, 0])
+        dst_grot = grot0 + grot_noises[i]                       # (T,)
+        dst_pos = radius * np.stack([np.cos(dst_grot), np.sin(dst_grot)], -1)  # (T,2)
+
+        # candidate corners: dims at yaw + grot + local rot, placed at
+        # dst_pos + loc noise (2D rotations compose additively)
+        theta = boxes_bev[i, 4] + grot_noises[i] + rot_noises[i]  # (T,)
+        s, c = np.sin(theta), np.cos(theta)
         rot = np.stack([np.stack([c, s], -1), np.stack([-s, c], -1)], -2)  # (T,2,2)
+        base = boxes_bev[i, 2:4] * corners_norm                  # (4,2)
         cand = np.einsum("pi,tij->tpj", base, rot) + (
-            boxes_bev[i, :2] + loc_noises[i, :, :2]
+            dst_pos + loc_noises[i, :, :2]
         )[:, None, :]  # (T,4,2)
+
         coll = box_collision_test_np(cand, box_corners)  # (T,N)
         coll[:, i] = False
         ok = ~coll.any(axis=1)
-        hit = np.argmax(ok) if ok.any() else -1
+        hit = int(np.argmax(ok)) if ok.any() else -1
         if hit >= 0:
             success[i] = hit
             box_corners[i] = cand[hit]
+            eff_loc[i] = loc_noises[i, hit]
+            eff_loc[i, :2] += dst_pos[hit] - boxes_bev[i, :2]
+            eff_rot[i] = rot_noises[i, hit] + grot_noises[i, hit]
 
-    # apply accepted transforms to in-box points (first-containing-box rule)
-    first_box = np.where(
-        point_masks.any(1), np.argmax(point_masks, axis=1), -1
-    )
+    # apply accepted transforms to in-box points (first-containing-box rule,
+    # rotation about the original box center — reference points_transform_)
+    first_box = np.where(point_masks.any(1), np.argmax(point_masks, axis=1), -1)
     for i in range(num_boxes):
         if success[i] < 0 or not valid_mask[i]:
             continue
         sel = first_box == i
         if sel.any():
-            t = success[i]
             centered = points[sel, :3] - gt_boxes[i, :3]
-            rotated = rotation_points_single_angle_np(centered, rot_noises[i, t], axis=2)
-            points[sel, :3] = rotated + gt_boxes[i, :3] + loc_noises[i, t]
-        gt_boxes[i, :3] += loc_noises[i, success[i]]
-        gt_boxes[i, 6] += rot_noises[i, success[i]]
+            rotated = rotation_points_single_angle_np(centered, eff_rot[i], axis=2)
+            points[sel, :3] = rotated + gt_boxes[i, :3] + eff_loc[i]
+        gt_boxes[i, :3] += eff_loc[i]
+        gt_boxes[i, 6] += eff_rot[i]
 
 
 # ---------------------------------------------------------------------------

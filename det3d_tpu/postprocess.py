@@ -49,12 +49,30 @@ def _nms_fn():
 
 
 class PostProcessParams(NamedTuple):
-    """Reference inference hyper-parameters (framework/inference.py:13-19)."""
+    """Reference inference hyper-parameters (framework/inference.py:13-19).
+
+    `approx_topk`: use TPU-optimized `lax.approx_max_k` for the pre-NMS
+    top-k (None = auto: on for TPU, off elsewhere). Recall ≈ target on the
+    candidate tail, which the score sort + NMS + post_max cap discards
+    anyway; set False for bit-exact parity runs."""
 
     nms_pre_max_size: int = 1000
     nms_post_max_size: int = 300
     nms_iou_threshold: float = 0.1
     score_threshold: float = 0.05
+    approx_topk: bool | None = None
+    approx_recall_target: float = 0.95
+
+
+def _topk(scores: jax.Array, k: int, params: PostProcessParams):
+    approx = params.approx_topk
+    if approx is None:
+        approx = jax.default_backend() == "tpu"
+    if approx and k < scores.shape[-1]:
+        return jax.lax.approx_max_k(
+            scores, k, recall_target=params.approx_recall_target
+        )
+    return jax.lax.top_k(scores, k)
 
 
 class Detections(NamedTuple):
@@ -93,7 +111,7 @@ def _postprocess_one_class(
     gate = anchors_mask & (scores >= params.score_threshold)
     masked_scores = jnp.where(gate, scores, -1.0)
 
-    top_scores, idx = jax.lax.top_k(masked_scores, k)
+    top_scores, idx = _topk(masked_scores, k, params)
     valid = top_scores >= 0.0
 
     box_k = box_preds[idx].astype(jnp.float32)

@@ -1,0 +1,224 @@
+"""Application-layer tests: config loading, checkpointing, export roundtrip,
+serving queue semantics, viewer rendering, CLI parsing."""
+
+import json
+
+import numpy as np
+import pytest
+
+from helpers import small_cfg
+
+
+class TestConfig:
+    def test_reference_config_derivation(self):
+        from det3d_tpu.config import load_config
+
+        cfg = load_config("configs/ntusl_20cm.json")
+        assert cfg.grid_size == (800, 800, 1)
+        assert cfg.feature_map_size == (400, 400, 1)
+        assert cfg.num_anchors == 1_440_000
+        assert cfg.num_anchors_per_loc == 9
+        # snap: range re-centred so grid*voxel tiles it exactly
+        np.testing.assert_allclose(
+            np.array(cfg.detection_range_diff),
+            np.array(cfg.grid_size) * np.array(cfg.voxel_size),
+            rtol=1e-6,
+        )
+
+    def test_all_reference_configs_load(self):
+        from pathlib import Path
+
+        from det3d_tpu.config import load_config
+
+        for p in Path("configs").glob("*.json"):
+            cfg = load_config(p)
+            assert cfg.grid_size[0] > 0, p
+
+    def test_feature_map_derived_for_custom_grid(self, tmp_path):
+        from det3d_tpu.config import load_config
+
+        p = tmp_path / "c.json"
+        p.write_text(json.dumps({
+            "detection_range": [-16.0, -16.0, -2.5, 16.0, 16.0, 8.5],
+            "voxel_size": [1.0, 1.0, 11.0],
+        }))
+        cfg = load_config(p)
+        assert cfg.grid_size == (32, 32, 1)
+        assert cfg.feature_map_size == (16, 16, 1)
+        assert all(s.feature_map_size == (16, 16, 1) for s in cfg.class_specs)
+
+    def test_trailing_comma_tolerated(self, tmp_path):
+        from det3d_tpu.config import load_config
+
+        p = tmp_path / "c.json"
+        p.write_text('{"batch_size": 3,}')
+        assert load_config(p).batch_size == 3
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        import jax
+
+        from det3d_tpu.train.checkpoint import CheckpointManager
+        from det3d_tpu.train.trainer import Trainer
+
+        cfg = small_cfg()
+        trainer = Trainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state = state._replace(step=state.step + 7)
+
+        mgr = CheckpointManager(tmp_path)
+        assert not mgr.has_latest()
+        mgr.save(jax.device_get(state))
+        assert mgr.has_latest()
+        assert (tmp_path / "7").exists()
+
+        template = trainer.init_state(jax.random.PRNGKey(1))
+        restored = mgr.restore_latest(template)
+        assert int(restored.step) == 7
+        orig = jax.tree.leaves(state.params)
+        back = jax.tree.leaves(restored.params)
+        for a, b in zip(orig, back):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_lr_override(self):
+        import jax
+
+        from det3d_tpu.train.trainer import Trainer
+
+        cfg = small_cfg()
+        trainer = Trainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state2 = Trainer.override_lr(state, 1e-5)
+        assert float(state2.opt_state[1].hyperparams["learning_rate"]) == pytest.approx(1e-5)
+
+
+class TestExportRoundtrip:
+    def test_export_and_run(self, tmp_path):
+        import jax
+
+        from det3d_tpu.deploy.export import export_detector
+        from det3d_tpu.deploy.runtime import ExportedDetector
+        from det3d_tpu.pipeline import Detector
+
+        cfg = small_cfg()
+        out = export_detector(cfg, out_dir=tmp_path / "artifact")
+        runner = ExportedDetector(out)
+
+        rng = np.random.RandomState(0)
+        pts = np.concatenate(
+            [rng.uniform(-7, 7, (800, 2)), rng.uniform(-2, 6, (800, 1)),
+             rng.uniform(0, 1, (800, 1))], 1
+        ).astype(np.float32)
+
+        annos = runner.detect(pts)
+        # must agree with the live detector under identical weights
+        det = Detector(cfg)
+        live = det.detect(runner.variables, pts)
+        np.testing.assert_array_equal(annos["name"], live["name"])
+        np.testing.assert_allclose(annos["location"], live["location"], atol=1e-5)
+
+
+class TestServer:
+    def test_queue_drops_stale_frames(self):
+        import jax
+
+        from det3d_tpu.apps.serve_app import PointCloudServer
+        from det3d_tpu.pipeline import Detector
+
+        cfg = small_cfg()
+        det = Detector(cfg)
+        v = det.init_variables(jax.random.PRNGKey(0))
+        server = PointCloudServer(cfg, v, queue_size=2)
+        server.detector = det
+        p = np.zeros((10, 4), np.float32)
+        assert server.submit(p, stamp=1.0)
+        assert server.submit(p, stamp=2.0)
+        assert server.submit(p, stamp=3.0)  # drops stamp=1.0
+        stamps = []
+        while not server.queue.empty():
+            stamps.append(server.queue.get_nowait()[1])
+        assert stamps == [2.0, 3.0]
+
+    def test_spin_serves_frames(self):
+        import jax
+
+        from det3d_tpu.apps.serve_app import PointCloudServer
+        from det3d_tpu.pipeline import Detector
+
+        cfg = small_cfg()
+        det = Detector(cfg)
+        v = det.init_variables(jax.random.PRNGKey(0))
+        server = PointCloudServer(cfg, v, queue_size=4)
+        server.detector = det
+        rng = np.random.RandomState(0)
+        for _ in range(3):
+            pts = np.concatenate(
+                [rng.uniform(-7, 7, (500, 2)), rng.uniform(-2, 6, (500, 1)),
+                 rng.uniform(0, 1, (500, 1))], 1).astype(np.float32)
+            server.submit(pts)
+        results = []
+        server.spin(max_frames=3, on_result=lambda a, l: results.append(a))
+        assert len(results) == 3
+        assert len(server.latencies) == 3
+
+
+class TestViewer:
+    def test_render_scene_writes_png(self, tmp_path):
+        from det3d_tpu.viewer.render import render_scene
+
+        rng = np.random.RandomState(0)
+        pts = rng.uniform(-10, 10, (1000, 4)).astype(np.float32)
+        gt = np.array([[0, 0, -1.5, 4, 2, 1.6, 0.3]], np.float32)
+        dt = np.array([[0.2, 0, -1.5, 4, 2, 1.6, 0.35],
+                       [8, 8, -1.5, 4, 2, 1.6, 0.0]], np.float32)
+        p = render_scene(pts, gt, dt, np.array([0.9, 0.7]),
+                         tmp_path / "s.png", (-12, -12, 12, 12))
+        assert p.exists() and p.stat().st_size > 10_000
+
+    def test_match_fp_fn(self):
+        from det3d_tpu.viewer.render import match_fp_fn
+
+        gt = np.array([[0, 0, -1.5, 4, 2, 1.6, 0.0]], np.float32)
+        dt = np.array([[0.1, 0, -1.5, 4, 2, 1.6, 0.0],
+                       [9, 9, -1.5, 4, 2, 1.6, 0.0]], np.float32)
+        fp, fn = match_fp_fn(gt, dt)
+        np.testing.assert_array_equal(fp, [False, True])
+        np.testing.assert_array_equal(fn, [False])
+
+
+class TestCLI:
+    def test_unknown_command_rejected(self, capsys):
+        from det3d_tpu import cli
+
+        with pytest.raises(SystemExit):
+            cli.main(["frobnicate"])
+
+    def test_eval_requires_dt_gt(self):
+        from det3d_tpu import cli
+
+        with pytest.raises(SystemExit):
+            cli.main(["eval", "--config", "configs/ntusl_20cm.json"])
+
+    def test_eval_subcommand_runs(self, tmp_path, capsys):
+        import pickle
+
+        from det3d_tpu import cli
+
+        anno = {
+            "name": np.array(["vehicle"]),
+            "location": np.array([[5.0, 0, -1.0]]),
+            "dimensions": np.array([[4.5, 2.0, 1.8]]),
+            "rotation_y": np.array([0.3]),
+            "num_points": np.array([100]),
+            "score": np.array([0.9]),
+        }
+        for name in ("gt", "dt"):
+            with open(tmp_path / f"{name}.pkl", "wb") as f:
+                pickle.dump([anno], f)
+        cli.main([
+            "eval", "--config", "configs/ntusl_20cm.json",
+            "--dt", str(tmp_path / "dt.pkl"), "--gt", str(tmp_path / "gt.pkl"),
+        ])
+        out = capsys.readouterr().out
+        assert "Metric: bev" in out and "vehicle" in out
