@@ -259,11 +259,14 @@ class SharedHead(nn.Module):
         box = nn.Dense(a * code, dtype=self.compute_dtype, name="conv_box")(x)
         dire = nn.Dense(a * 2, dtype=self.compute_dtype, name="conv_dir")(x)
 
-        # (N, H, W, A*k) → (N, A, H, W, k) → (N, A*H*W, k): anchor-major
+        # (N, H, W, A*k) → (N, A, H, W, k) → (N, A*H*W, k): anchor-major.
+        # Outputs stay in the compute dtype (bf16): the 1.44M-anchor tensors
+        # are pure HBM traffic here; losses and postprocess cast to f32 at
+        # their (much smaller) consumption points.
         def to_anchor_major(t: jax.Array, k: int) -> jax.Array:
             t = t.reshape(n, h, w, a, k)
             t = t.transpose(0, 3, 1, 2, 4)
-            return t.reshape(n, a * h * w, k).astype(jnp.float32)
+            return t.reshape(n, a * h * w, k)
 
         return {
             "cls_preds": to_anchor_major(cls, 1),
