@@ -102,6 +102,7 @@ class Config:
 
     # ---- framework-level knobs (new; no reference counterpart) ----
     max_points: int = 200_000        # static per-frame point budget (pad-to-max)
+    head: str = "shared"             # detection head: "shared" | "multi"
     max_gt_boxes: int = 64           # static per-class gt budget for on-device targets
     compute_dtype: str = "bfloat16"  # conv/matmul compute dtype ("float32" for parity runs)
 
@@ -231,6 +232,7 @@ def load_config(path: str | Path | dict, **overrides: Any) -> Config:
         max_points=int(get("max_points", 200_000)),
         max_gt_boxes=int(get("max_gt_boxes", 64)),
         compute_dtype=get("compute_dtype", "bfloat16"),
+        head=get("head", "shared"),
     )
     cfg = _with_derived(cfg)
     fms = (

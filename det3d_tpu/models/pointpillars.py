@@ -275,6 +275,46 @@ class SharedHead(nn.Module):
         }
 
 
+class MultiHead(nn.Module):
+    """Per-class heads over the shared RPN features, concatenated into the
+    same anchor-major flat layout as SharedHead.
+
+    The reference's head evolution (SingleHead/MultiHead(s),
+    networks/pointpillars8_shared.py:184-296, and the per-class variants in
+    networks/old/) shows this extensibility axis; kept as a config-selectable
+    alternative (`head: "multi"`). Output contract is identical to
+    SharedHead so losses/postprocess are head-agnostic."""
+
+    anchors_per_class: tuple[int, ...] = (6, 1, 2)
+    box_code_size: int = 7
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
+        n, h, w, _ = x.shape
+        code = self.box_code_size
+        cls_l, box_l, dir_l = [], [], []
+        for ci, a in enumerate(self.anchors_per_class):
+            feat = nn.Dense(64, dtype=self.compute_dtype, name=f"head{ci}_reduce")(x)
+            feat = nn.relu(feat)
+            cls = nn.Dense(a, dtype=self.compute_dtype, name=f"head{ci}_cls")(feat)
+            box = nn.Dense(a * code, dtype=self.compute_dtype, name=f"head{ci}_box")(feat)
+            dire = nn.Dense(a * 2, dtype=self.compute_dtype, name=f"head{ci}_dir")(feat)
+
+            def to_anchor_major(t, k, a=a):
+                t = t.reshape(n, h, w, a, k)
+                return t.transpose(0, 3, 1, 2, 4).reshape(n, a * h * w, k)
+
+            cls_l.append(to_anchor_major(cls, 1))
+            box_l.append(to_anchor_major(box, code))
+            dir_l.append(to_anchor_major(dire, 2))
+        return {
+            "cls_preds": jnp.concatenate(cls_l, axis=1),
+            "box_preds": jnp.concatenate(box_l, axis=1),
+            "dir_preds": jnp.concatenate(dir_l, axis=1),
+        }
+
+
 class PointPillars(nn.Module):
     """PFN → scatter → RPN → SharedHead. Reference:
     networks/pointpillars8_shared.py:346-382 (minus the per-stage
@@ -301,6 +341,15 @@ class PointPillars(nn.Module):
             pillar_features, coors, (self.cfg.grid_size[0], self.cfg.grid_size[1])
         )
         rpn_features = RPN(compute_dtype=dtype, name="rpn")(canvas)
+        if getattr(self.cfg, "head", "shared") == "multi":
+            return MultiHead(
+                anchors_per_class=tuple(
+                    s.num_anchors_per_loc for s in self.cfg.class_specs
+                ),
+                box_code_size=self.cfg.box_code_size,
+                compute_dtype=dtype,
+                name="head",
+            )(rpn_features)
         return SharedHead(
             num_anchor_per_loc=self.cfg.num_anchors_per_loc,
             box_code_size=self.cfg.box_code_size,

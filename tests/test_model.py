@@ -106,3 +106,27 @@ class TestEndToEnd:
         cfg = small_cfg()
         aset = build_anchors(cfg)
         assert aset.num_anchors == cfg.num_anchors == 5 * 8 * 8
+
+
+class TestMultiHead:
+    def test_multi_head_matches_shared_contract(self):
+        """MultiHead must emit the same shapes/anchor-major layout as
+        SharedHead so losses/postprocess are head-agnostic."""
+        import jax
+        import numpy as np
+
+        from det3d_tpu.pipeline import Detector
+        from helpers import small_cfg
+
+        cfg = small_cfg().replace(head="multi")
+        det = Detector(cfg)
+        v = det.init_variables(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        pts = np.concatenate(
+            [rng.uniform(-7, 7, (500, 2)), rng.uniform(-2, 6, (500, 1)),
+             rng.uniform(0, 1, (500, 1))], 1).astype(np.float32)
+        padded, n = det.pad_points(pts)
+        out = det.infer_jit(v, padded, n)
+        assert np.asarray(out.boxes).shape[0] == len(cfg.class_specs)
+        annos = det.detect(v, pts)
+        assert "name" in annos
