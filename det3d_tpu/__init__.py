@@ -16,4 +16,30 @@ __version__ = "0.1.0"
 
 from det3d_tpu.config import Config, load_config
 
-__all__ = ["Config", "load_config", "__version__"]
+
+def __getattr__(name):
+    # lazy re-exports: keep `import det3d_tpu` light (no jax/flax import cost
+    # for host-only tools) while exposing the main entry points at top level
+    if name == "Detector":
+        from det3d_tpu.pipeline import Detector
+
+        return Detector
+    if name == "Trainer":
+        from det3d_tpu.train.trainer import Trainer
+
+        return Trainer
+    if name == "ExportedDetector":
+        from det3d_tpu.deploy.runtime import ExportedDetector
+
+        return ExportedDetector
+    raise AttributeError(name)
+
+
+__all__ = [
+    "Config",
+    "load_config",
+    "Detector",
+    "Trainer",
+    "ExportedDetector",
+    "__version__",
+]
