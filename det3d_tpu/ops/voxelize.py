@@ -134,25 +134,58 @@ def voxelize(
     seg_idx = jnp.cumsum(head.astype(jnp.int32)) - 1    # (n,), -1 before first head
     voxel_num_total = jnp.sum(head.astype(jnp.int32))
 
+    voxel_num = jnp.minimum(voxel_num_total, spec.max_voxels)
+
     if fcfs:
-        # first-occurrence rank of my pillar = original index of its head point
+        # GATHER formulation (TPU scatters are ~2x slower than gathers; the
+        # three output scatters were the hottest ops of the whole pipeline):
+        # fcfs_perm[s] is the sorted-position of the head of the s-th pillar
+        # in first-occurrence order, so every output is a plain gather:
+        #   coors[s]     = scoor[fcfs_perm[s]]
+        #   counts[s]    = (next head pos after fcfs_perm[s]) - fcfs_perm[s]
+        #   voxels[s, p] = spoints[fcfs_perm[s] + p]   (segments are
+        #                  consecutive in the sorted order)
         first_rank = jnp.where(head, order, jnp.iinfo(jnp.int32).max)
-        # rank pillars by first occurrence: heads sorted by first_rank give the
-        # reference's pillar order (voxel_generator.py:98-101)
-        fcfs_perm = jnp.argsort(first_rank)             # sorted-pos of j-th pillar head
-        # slot of the pillar whose head sits at sorted-pos p:
-        slot_of_headpos = jnp.zeros((n,), jnp.int32).at[fcfs_perm].set(
-            jnp.arange(n, dtype=jnp.int32)
+        fcfs_perm = jnp.argsort(first_rank)             # (n,)
+        headpos = fcfs_perm[: spec.max_voxels]          # (V,)
+        slot_ids = jnp.arange(spec.max_voxels, dtype=jnp.int32)
+        valid_slot = slot_ids < voxel_num
+
+        # exclusive suffix-min of head positions → end of each head's segment
+        # (clamped to the valid-point count: invalid sentinel points sort
+        # last and must not extend the final pillar's segment)
+        total_valid = jnp.sum(svalid.astype(jnp.int32))
+        arr = jnp.where(head, pos, n)
+        suffix_min = jnp.flip(jax.lax.cummin(jnp.flip(arr)))
+        seg_end = jnp.minimum(
+            jnp.concatenate([suffix_min[1:], jnp.full((1,), n, jnp.int32)])[headpos],
+            total_valid,
         )
-        voxel_slot = slot_of_headpos[seg_start]
-    else:
-        voxel_slot = seg_idx
+        counts = jnp.where(
+            valid_slot,
+            jnp.minimum(seg_end - headpos, spec.max_num_points),
+            0,
+        ).astype(jnp.int32)
 
-    keep = svalid & (voxel_slot < spec.max_voxels) & (pos_in_voxel < spec.max_num_points)
+        coors = jnp.where(valid_slot[:, None], scoor[headpos], -1)
 
-    # --- emit fixed-shape buffers ---------------------------------------
+        src = headpos[:, None] + jnp.arange(spec.max_num_points, dtype=jnp.int32)[None, :]
+        slot_valid = (
+            valid_slot[:, None]
+            & (jnp.arange(spec.max_num_points, dtype=jnp.int32)[None, :] < counts[:, None])
+        )
+        voxels = jnp.where(
+            slot_valid[..., None],
+            spoints[jnp.clip(src, 0, n - 1)],
+            0.0,
+        )
+        return VoxelizedFrame(voxels, coors, counts, voxel_num)
+
+    # cell-id-ordered slots (fcfs=False): scatter formulation.
     # NB: `mode="drop"` only drops indices beyond the upper bound — negative
     # indices wrap numpy-style — so dropped rows use a positive OOB sentinel.
+    voxel_slot = seg_idx
+    keep = svalid & (voxel_slot < spec.max_voxels) & (pos_in_voxel < spec.max_num_points)
     oob_flat = spec.max_voxels * spec.max_num_points
     flat_idx = jnp.where(keep, voxel_slot * spec.max_num_points + pos_in_voxel, oob_flat)
     voxels = (
@@ -174,5 +207,4 @@ def voxelize(
         .add(1, mode="drop")
     )
 
-    voxel_num = jnp.minimum(voxel_num_total, spec.max_voxels)
     return VoxelizedFrame(voxels, coors, counts, voxel_num)
