@@ -37,16 +37,29 @@ def _rbbox2d_to_near_bbox_np(rbboxes: np.ndarray) -> np.ndarray:
 
 @dataclasses.dataclass(frozen=True)
 class AnchorSet:
-    """The full flat anchor set plus per-class views."""
+    """The full flat anchor set plus per-class views.
+
+    Flat layout is **location-major**: flat = (x·fy + y)·A + channel, where
+    `channel` indexes the A per-location anchors, classes in config order
+    ([class][size][rot]). This deliberately diverges from the reference's
+    anchor-major [class][size][rot][x][y] ordering (reference:
+    framework/anchor_assigner.py:284-298): location-major is exactly what
+    the NHWC detection head emits, so the 1.44M-row anchor-major transposes
+    (~3 ms/frame of pure data movement) disappear. Per-class CONTIGUOUS
+    tables are precomputed for the gather-by-topk-index paths.
+    """
 
     anchors: np.ndarray            # (A, 7) float32  [x,y,z,l,w,h,yaw]
     anchors_bv: np.ndarray         # (A, 4) float32  nearest-axis minmax BEV boxes
     corner_cells: np.ndarray       # (A, 4) int32    SAT lookup cells
     matched_threshold: np.ndarray  # (A,) float32
     unmatched_threshold: np.ndarray  # (A,) float32
-    class_ranges: dict             # name -> (start, end) into the flat set
-    config_ranges: tuple           # ((start, fx, fy), ...) per (class,size,rot) grid
-    mask_index_vectors: tuple | None  # separable SAT row/col vectors (see ops.anchor_mask)
+    grid_hw: tuple                 # (fx, fy) shared feature-map grid
+    num_channels: int              # A per location (9 for the default specs)
+    class_channels: dict           # name -> (c0, c1) channel range per class
+    anchors_by_class: dict         # name -> (fx*fy*(c1-c0), 7) contiguous copy
+    anchors_bv_by_class: dict      # name -> (fx*fy*(c1-c0), 4) contiguous copy
+    mask_index_vectors: tuple | None  # separable SAT row/col vectors per channel
 
     @property
     def num_anchors(self) -> int:
@@ -79,51 +92,63 @@ def _generate_one(size, rotation, feature_map_size, strides, offsets) -> np.ndar
 
 
 def build_anchors(cfg: Config) -> AnchorSet:
-    """Build the flat anchor set for all classes in config order."""
-    anchors_list = []
-    matched_list = []
-    unmatched_list = []
-    class_ranges: dict[str, tuple[int, int]] = {}
-    start = 0
-
-    config_ranges = []
+    """Build the flat anchor set for all classes, location-major."""
+    fx, fy, _ = cfg.class_specs[0].feature_map_size
     for spec in cfg.class_specs:
-        cls_anchors = []
+        assert tuple(spec.feature_map_size[:2]) == (fx, fy), (
+            "location-major layout requires a shared feature-map grid"
+        )
+
+    channel_grids = []   # per (class, size, rot): (fx*fy, 7) grid
+    matched_ch, unmatched_ch = [], []
+    class_channels: dict[str, tuple[int, int]] = {}
+    for spec in cfg.class_specs:
+        c0 = len(channel_grids)
+        strides = np.asarray(cfg.detection_range_diff, np.float32) / np.asarray(
+            spec.feature_map_size, np.float32
+        )
         for size in spec.sizes:
-            strides = np.asarray(cfg.detection_range_diff, np.float32) / np.asarray(
-                spec.feature_map_size, np.float32
-            )
             for rotation in spec.rotations:
-                cls_anchors.append(
+                channel_grids.append(
                     _generate_one(size, rotation, spec.feature_map_size, strides, cfg.detection_offset)
                 )
-                config_ranges.append(
-                    (start + sum(a.shape[0] for a in cls_anchors[:-1]),
-                     int(spec.feature_map_size[0]), int(spec.feature_map_size[1]))
-                )
-        cls_anchors = np.concatenate(cls_anchors, axis=0)
-        n = cls_anchors.shape[0]
-        anchors_list.append(cls_anchors)
-        matched_list.append(np.full(n, spec.matched_threshold, np.float32))
-        unmatched_list.append(np.full(n, spec.unmatched_threshold, np.float32))
-        class_ranges[spec.name] = (start, start + n)
-        start += n
+                matched_ch.append(spec.matched_threshold)
+                unmatched_ch.append(spec.unmatched_threshold)
+        class_channels[spec.name] = (c0, len(channel_grids))
 
-    anchors = np.concatenate(anchors_list, axis=0)
+    a = len(channel_grids)
+    # (A_chan, fx*fy, 7) → (fx*fy, A_chan, 7) → flat location-major
+    stacked = np.stack(channel_grids, axis=0).transpose(1, 0, 2)
+    anchors = np.ascontiguousarray(stacked.reshape(-1, 7))
     anchors_bv = _rbbox2d_to_near_bbox_np(anchors[:, [0, 1, 3, 4, 6]])
     corner_cells = anchor_corner_cells(
         anchors_bv, cfg.voxel_size, cfg.detection_offset, cfg.grid_size
     )
+
+    anchors_by_class, anchors_bv_by_class = {}, {}
+    a4 = anchors.reshape(fx * fy, a, 7)
+    bv4 = anchors_bv.reshape(fx * fy, a, 4)
+    for name, (c0, c1) in class_channels.items():
+        anchors_by_class[name] = np.ascontiguousarray(a4[:, c0:c1].reshape(-1, 7))
+        anchors_bv_by_class[name] = np.ascontiguousarray(bv4[:, c0:c1].reshape(-1, 4))
+
     from det3d_tpu.ops.anchor_mask import separable_corner_index_vectors
 
-    vectors = separable_corner_index_vectors(corner_cells, config_ranges)
+    vectors = separable_corner_index_vectors(corner_cells, (fx, fy), a)
     return AnchorSet(
         anchors=anchors,
         anchors_bv=anchors_bv,
         corner_cells=corner_cells,
-        matched_threshold=np.concatenate(matched_list),
-        unmatched_threshold=np.concatenate(unmatched_list),
-        class_ranges=class_ranges,
-        config_ranges=tuple(config_ranges),
+        matched_threshold=np.repeat(
+            np.asarray(matched_ch, np.float32)[None, :], fx * fy, 0
+        ).reshape(-1),
+        unmatched_threshold=np.repeat(
+            np.asarray(unmatched_ch, np.float32)[None, :], fx * fy, 0
+        ).reshape(-1),
+        grid_hw=(fx, fy),
+        num_channels=a,
+        class_channels=class_channels,
+        anchors_by_class=anchors_by_class,
+        anchors_bv_by_class=anchors_bv_by_class,
         mask_index_vectors=tuple(vectors) if vectors is not None else None,
     )

@@ -259,19 +259,20 @@ class SharedHead(nn.Module):
         box = nn.Dense(a * code, dtype=self.compute_dtype, name="conv_box")(x)
         dire = nn.Dense(a * 2, dtype=self.compute_dtype, name="conv_dir")(x)
 
-        # (N, H, W, A*k) → (N, A, H, W, k) → (N, A*H*W, k): anchor-major.
-        # Outputs stay in the compute dtype (bf16): the 1.44M-anchor tensors
-        # are pure HBM traffic here; losses and postprocess cast to f32 at
-        # their (much smaller) consumption points.
-        def to_anchor_major(t: jax.Array, k: int) -> jax.Array:
-            t = t.reshape(n, h, w, a, k)
-            t = t.transpose(0, 3, 1, 2, 4)
-            return t.reshape(n, a * h * w, k)
+        # (N, H, W, A*k) → (N, H*W*A, k): location-major flat layout — a pure
+        # reshape, matching anchors.build_anchors. (The reference transposes
+        # to anchor-major [A][H][W] here, pointpillars8_shared.py:318-341;
+        # on TPU that transpose is ~3 ms/frame of pure data movement, so the
+        # anchor table is location-major instead.) Outputs stay in the
+        # compute dtype (bf16): losses and postprocess cast to f32 at their
+        # (much smaller) consumption points.
+        def to_flat(t: jax.Array, k: int) -> jax.Array:
+            return t.reshape(n, h * w * a, k)
 
         return {
-            "cls_preds": to_anchor_major(cls, 1),
-            "box_preds": to_anchor_major(box, code),
-            "dir_preds": to_anchor_major(dire, 2),
+            "cls_preds": to_flat(cls, 1),
+            "box_preds": to_flat(box, code),
+            "dir_preds": to_flat(dire, 2),
         }
 
 
@@ -300,18 +301,18 @@ class MultiHead(nn.Module):
             cls = nn.Dense(a, dtype=self.compute_dtype, name=f"head{ci}_cls")(feat)
             box = nn.Dense(a * code, dtype=self.compute_dtype, name=f"head{ci}_box")(feat)
             dire = nn.Dense(a * 2, dtype=self.compute_dtype, name=f"head{ci}_dir")(feat)
+            cls_l.append(cls.reshape(n, h * w, a, 1))
+            box_l.append(box.reshape(n, h * w, a, code))
+            dir_l.append(dire.reshape(n, h * w, a, 2))
 
-            def to_anchor_major(t, k, a=a):
-                t = t.reshape(n, h, w, a, k)
-                return t.transpose(0, 3, 1, 2, 4).reshape(n, a * h * w, k)
+        # concat per-class channels at each location → location-major flat
+        def flat(parts, k):
+            return jnp.concatenate(parts, axis=2).reshape(n, -1, k)
 
-            cls_l.append(to_anchor_major(cls, 1))
-            box_l.append(to_anchor_major(box, code))
-            dir_l.append(to_anchor_major(dire, 2))
         return {
-            "cls_preds": jnp.concatenate(cls_l, axis=1),
-            "box_preds": jnp.concatenate(box_l, axis=1),
-            "dir_preds": jnp.concatenate(dir_l, axis=1),
+            "cls_preds": flat(cls_l, 1),
+            "box_preds": flat(box_l, code),
+            "dir_preds": flat(dir_l, 2),
         }
 
 

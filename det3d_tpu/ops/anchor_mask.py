@@ -98,17 +98,19 @@ def compute_anchors_mask(
 
 
 def separable_corner_index_vectors(
-    corner_cells: np.ndarray, config_ranges
+    corner_cells: np.ndarray, grid_hw, num_channels: int
 ) -> list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] | None:
-    """Per anchor config: (rows_min, rows_max, cols_min, cols_max) index
-    vectors, or None if any config's cells aren't row/column-separable.
+    """Per anchor channel: (rows_min, rows_max, cols_min, cols_max) index
+    vectors, or None if any channel's cells aren't row/column-separable.
 
-    config_ranges: list of (start, fx, fy) spans into the flat anchor set,
-    each spanning one (class, size, rotation) grid in x-major order.
+    corner_cells is in the location-major flat layout: (fx·fy·C, 4) with
+    channel minor; each channel forms one regular (fx, fy) grid.
     """
+    fx, fy = grid_hw
+    cells_all = corner_cells.reshape(fx, fy, num_channels, 4)
     out = []
-    for start, fx, fy in config_ranges:
-        cells = corner_cells[start : start + fx * fy].reshape(fx, fy, 4)
+    for ch in range(num_channels):
+        cells = cells_all[:, :, ch]
         rows_min, cols_min = cells[:, 0, 0], cells[0, :, 1]
         rows_max, cols_max = cells[:, 0, 2], cells[0, :, 3]
         ok = (
@@ -125,7 +127,8 @@ def separable_corner_index_vectors(
 
 def anchors_mask_from_sat_separable(sat: jax.Array, index_vectors) -> jax.Array:
     """Separable SAT lookup: same `ID - IB - IC + IA > 0` as
-    anchors_mask_from_sat, evaluated with row/column takes per config."""
+    anchors_mask_from_sat, evaluated with row/column takes per channel.
+    Output is location-major flat: (fx·fy·C,) with channel minor."""
     masks = []
     for rows_min, rows_max, cols_min, cols_max in index_vectors:
         t = jnp.take(sat, jnp.asarray(rows_max), axis=0) - jnp.take(
@@ -134,8 +137,8 @@ def anchors_mask_from_sat_separable(sat: jax.Array, index_vectors) -> jax.Array:
         m = jnp.take(t, jnp.asarray(cols_max), axis=1) - jnp.take(
             t, jnp.asarray(cols_min), axis=1
         )  # (fx, fy)
-        masks.append((m > 0).reshape(-1))
-    return jnp.concatenate(masks)
+        masks.append(m > 0)
+    return jnp.stack(masks, axis=-1).reshape(-1)
 
 
 def compute_anchors_mask_separable(

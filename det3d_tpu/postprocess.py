@@ -95,27 +95,27 @@ except Exception:  # pragma: no cover - older jax without namedtuple serializati
 
 
 def _postprocess_one_class(
-    cls_preds: jax.Array,      # (Ac, 1) logits
-    box_preds: jax.Array,      # (Ac, 7)
-    dir_preds: jax.Array,      # (Ac, 2)
-    anchors_mask: jax.Array,   # (Ac,) bool
-    anchors: jax.Array,        # (Ac, 7) constant
+    masked_scores: jax.Array,  # (Ac,) f32, gated scores (-1 where excluded)
+    global_idx_fn,             # class-flat idx -> row into the global tensors
+    box_all: jax.Array,        # (A_total, 7) global, location-major
+    dir_all: jax.Array,        # (A_total, 2) global
+    anchors: jax.Array,        # (Ac, 7) per-class contiguous constant
     center_limit: jax.Array,   # (6,)
     params: PostProcessParams,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     # clamp to the class's (static) anchor count — small classes can have
     # fewer anchors than nms_pre_max_size
-    k = min(params.nms_pre_max_size, cls_preds.shape[0])
-
-    scores = jax.nn.sigmoid(jnp.max(cls_preds.astype(jnp.float32), axis=-1))  # (Ac,)
-    gate = anchors_mask & (scores >= params.score_threshold)
-    masked_scores = jnp.where(gate, scores, -1.0)
+    k = min(params.nms_pre_max_size, masked_scores.shape[0])
 
     top_scores, idx = _topk(masked_scores, k, params)
     valid = top_scores >= 0.0
 
-    box_k = box_preds[idx].astype(jnp.float32)
-    dir_k = dir_preds[idx]
+    # gather the k candidates straight from the GLOBAL tensors (slicing the
+    # per-class channels out of the 1.44M-anchor tensors costs ~1ms/frame of
+    # pure copies; a 1000-row gather is free by comparison)
+    gidx = global_idx_fn(idx)
+    box_k = box_all[gidx].astype(jnp.float32)
+    dir_k = dir_all[gidx]
     anchors_k = anchors[idx]
 
     boxes = geometry.box_decode(box_k, anchors_k)                      # (k, 7)
@@ -160,19 +160,39 @@ def make_postprocessor(cfg: Config, anchor_set: AnchorSet, params: PostProcessPa
     over the static anchor set. preds are single-frame (squeezed batch)."""
     params = params or PostProcessParams()
     center_limit = jnp.asarray(cfg.center_limit, jnp.float32)
-    ranges = [anchor_set.class_ranges[s.name] for s in cfg.class_specs]
-    class_anchors = [jnp.asarray(anchor_set.anchors[a:b]) for a, b in ranges]
+    nch = anchor_set.num_channels
+    channels = [anchor_set.class_channels[s.name] for s in cfg.class_specs]
+    class_anchors = [
+        jnp.asarray(anchor_set.anchors_by_class[s.name]) for s in cfg.class_specs
+    ]
 
     def postprocess(preds: dict[str, jax.Array], anchors_mask: jax.Array) -> Detections:
-        cls_all = preds["cls_preds"].reshape(-1, 1)
+        # location-major layout: score the full tensor ONCE, then per class
+        # only the (cheap) f32 score channels are sliced; box/dir stay global
+        # and are gathered post-top-k by global index
+        scores_all = jax.nn.sigmoid(
+            jnp.max(preds["cls_preds"].astype(jnp.float32), axis=-1)
+        ).reshape(-1, nch)
+        gated_all = jnp.where(
+            anchors_mask.reshape(-1, nch)
+            & (scores_all >= params.score_threshold),
+            scores_all,
+            -1.0,
+        )
         box_all = preds["box_preds"].reshape(-1, cfg.box_code_size)
         dir_all = preds["dir_preds"].reshape(-1, 2)
-        mask_all = anchors_mask.reshape(-1)
 
         boxes_l, scores_l, valid_l = [], [], []
-        for (a, b), anchors in zip(ranges, class_anchors):
+        for (c0, c1), anchors in zip(channels, class_anchors):
+            ac = c1 - c0
+
+            def gidx_fn(idx, c0=c0, ac=ac):
+                # class-flat (loc*ac + ch) → global flat (loc*nch + c0 + ch)
+                return (idx // ac) * nch + c0 + (idx % ac)
+
             bx, sc, va = _postprocess_one_class(
-                cls_all[a:b], box_all[a:b], dir_all[a:b], mask_all[a:b],
+                gated_all[:, c0:c1].reshape(-1),
+                gidx_fn, box_all, dir_all,
                 anchors, center_limit, params,
             )
             boxes_l.append(bx)

@@ -97,34 +97,43 @@ def make_target_assigner(cfg: Config, anchor_set: AnchorSet):
     Padded gt rows must have nonzero dims (host pads with dims=1) so the
     masked `box_encode` log terms stay finite.
     """
-    ranges = [anchor_set.class_ranges[s.name] for s in cfg.class_specs]
-    class_anchors = [jnp.asarray(anchor_set.anchors[a:b]) for a, b in ranges]
-    class_anchors_bv = [jnp.asarray(anchor_set.anchors_bv[a:b]) for a, b in ranges]
+    nch = anchor_set.num_channels
+    channels = [anchor_set.class_channels[s.name] for s in cfg.class_specs]
+    class_anchors = [
+        jnp.asarray(anchor_set.anchors_by_class[s.name]) for s in cfg.class_specs
+    ]
+    class_anchors_bv = [
+        jnp.asarray(anchor_set.anchors_bv_by_class[s.name]) for s in cfg.class_specs
+    ]
     thresholds = [(s.matched_threshold, s.unmatched_threshold) for s in cfg.class_specs]
 
     def assign(
         gt_boxes: jax.Array,      # (G, 7)
         gt_classes: jax.Array,    # (G,) int32, 1-based
         gt_valid: jax.Array,      # (G,) bool
-        anchors_mask: jax.Array,  # (A,) bool
+        anchors_mask: jax.Array,  # (A,) bool, location-major flat
     ) -> TargetAssignment:
+        mask_ch = anchors_mask.reshape(-1, nch)
         labels_l, targets_l, weights_l, dir_l = [], [], [], []
-        for ci, ((a, b), anchors, anchors_bv, (mth, uth)) in enumerate(
-            zip(ranges, class_anchors, class_anchors_bv, thresholds)
+        for ci, ((c0, c1), anchors, anchors_bv, (mth, uth)) in enumerate(
+            zip(channels, class_anchors, class_anchors_bv, thresholds)
         ):
             cls_valid = gt_valid & (gt_classes == ci + 1)
             lab, tgt, w, d = _assign_one_class(
-                anchors, anchors_bv, anchors_mask[a:b], gt_boxes, cls_valid, mth, uth
+                anchors, anchors_bv, mask_ch[:, c0:c1].reshape(-1),
+                gt_boxes, cls_valid, mth, uth
             )
-            labels_l.append(lab)
-            targets_l.append(tgt)
-            weights_l.append(w)
-            dir_l.append(d)
+            # per-class results are (locations*(c1-c0), ...) — reinterleave
+            # into the location-major channel axis
+            labels_l.append(lab.reshape(-1, c1 - c0))
+            targets_l.append(tgt.reshape(-1, c1 - c0, tgt.shape[-1]))
+            weights_l.append(w.reshape(-1, c1 - c0))
+            dir_l.append(d.reshape(-1, c1 - c0))
         return TargetAssignment(
-            labels=jnp.concatenate(labels_l),
-            bbox_targets=jnp.concatenate(targets_l),
-            bbox_outside_weights=jnp.concatenate(weights_l),
-            dir_targets=jnp.concatenate(dir_l),
+            labels=jnp.concatenate(labels_l, axis=1).reshape(-1),
+            bbox_targets=jnp.concatenate(targets_l, axis=1).reshape(-1, 7),
+            bbox_outside_weights=jnp.concatenate(weights_l, axis=1).reshape(-1),
+            dir_targets=jnp.concatenate(dir_l, axis=1).reshape(-1),
         )
 
     return assign

@@ -70,9 +70,10 @@ class TestRPN:
 
 
 class TestHeadOrdering:
-    def test_anchor_major_layout(self):
+    def test_location_major_layout(self):
         """A delta at one (x, y) location must land at flat indices
-        a*H*W + x*W + y for every anchor a — the anchors.py contract."""
+        (x*W + y)*A + a for every anchor channel a — the anchors.py
+        location-major contract (a pure reshape of the NHWC head output)."""
         h = w = 8
         a = 9
         head = SharedHead(num_anchor_per_loc=a, compute_dtype=jnp.float32)
@@ -84,7 +85,7 @@ class TestHeadOrdering:
         base = head.apply(variables, jnp.zeros_like(x))
         diff = np.abs(np.asarray(out["cls_preds"] - base["cls_preds"]))[0, :, 0]
         hit = np.nonzero(diff > 1e-9)[0]
-        expected = np.array([ai * h * w + xi * w + yi for ai in range(a)])
+        expected = np.array([(xi * w + yi) * a + ai for ai in range(a)])
         np.testing.assert_array_equal(np.sort(hit), expected)
 
 

@@ -18,22 +18,27 @@ from helpers import small_cfg
 def postprocess_ref(cfg, anchor_set, preds, anchors_mask, params):
     """Numpy reimplementation of the per-class pipeline
     (reference framework/inference.py:26-138)."""
-    cls_all = preds["cls_preds"].reshape(-1, 1)
-    box_all = preds["box_preds"].reshape(-1, 7)
-    dir_all = preds["dir_preds"].reshape(-1, 2)
+    nch = anchor_set.num_channels
+    cls_ch = preds["cls_preds"].reshape(-1, nch, 1)
+    box_ch = preds["box_preds"].reshape(-1, nch, 7)
+    dir_ch = preds["dir_preds"].reshape(-1, nch, 2)
+    mask_ch = anchors_mask.reshape(-1, nch)
     out = []
     for spec in cfg.class_specs:
-        a, b = anchor_set.class_ranges[spec.name]
-        anchors = anchor_set.anchors[a:b]
-        scores = 1 / (1 + np.exp(-cls_all[a:b].max(-1)))
-        gate = anchors_mask[a:b] & (scores >= params.score_threshold)
+        c0, c1 = anchor_set.class_channels[spec.name]
+        anchors = anchor_set.anchors_by_class[spec.name]
+        cls_c = cls_ch[:, c0:c1].reshape(-1, 1)
+        box_c = box_ch[:, c0:c1].reshape(-1, 7)
+        dir_c = dir_ch[:, c0:c1].reshape(-1, 2)
+        scores = 1 / (1 + np.exp(-cls_c.max(-1)))
+        gate = mask_ch[:, c0:c1].reshape(-1) & (scores >= params.score_threshold)
         ms = np.where(gate, scores, -1.0)
         k = min(params.nms_pre_max_size, len(ms))
         idx = np.argsort(-ms, kind="stable")[:k]
         top = ms[idx]
         valid = top >= 0
-        boxes = np_ref.box_decode_ref(box_all[a:b][idx], anchors[idx])
-        dir_labels = dir_all[a:b][idx].argmax(-1).astype(bool)
+        boxes = np_ref.box_decode_ref(box_c[idx], anchors[idx])
+        dir_labels = dir_c[idx].argmax(-1).astype(bool)
 
         corners = box2d_corners_np(boxes[:, [0, 1, 3, 4, 6]])
         standup = np.concatenate([corners.min(1), corners.max(1)], -1)

@@ -14,25 +14,30 @@ def make_gt(cfg, boxes_and_classes):
 
 
 def assign_ref_all(cfg, aset, anchors_mask, gt_boxes, gt_classes):
-    """Run the numpy oracle per class and concatenate, like the reference's
-    loop over class_masks."""
+    """Run the numpy oracle per class and reinterleave into the
+    location-major channel layout (like the reference's loop over
+    class_masks, adapted to the flat-order divergence)."""
+    nch = aset.num_channels
+    mask_ch = anchors_mask.reshape(-1, nch)
     labels_l, targets_l, weights_l, dir_l = [], [], [], []
     for ci, spec in enumerate(cfg.class_specs):
-        a0, a1 = aset.class_ranges[spec.name]
+        c0, c1 = aset.class_channels[spec.name]
         mask = gt_classes == ci + 1
         lab, tgt, w, d = np_ref.assign_targets_ref(
-            aset.anchors[a0:a1], aset.anchors_bv[a0:a1], anchors_mask[a0:a1],
+            aset.anchors_by_class[spec.name],
+            aset.anchors_bv_by_class[spec.name],
+            mask_ch[:, c0:c1].reshape(-1),
             gt_boxes[mask], spec.matched_threshold, spec.unmatched_threshold,
         )
-        labels_l.append(lab)
-        targets_l.append(tgt)
-        weights_l.append(w)
-        dir_l.append(d)
+        labels_l.append(lab.reshape(-1, c1 - c0))
+        targets_l.append(tgt.reshape(-1, c1 - c0, 7))
+        weights_l.append(w.reshape(-1, c1 - c0))
+        dir_l.append(d.reshape(-1, c1 - c0))
     return (
-        np.concatenate(labels_l),
-        np.concatenate(targets_l),
-        np.concatenate(weights_l),
-        np.concatenate(dir_l),
+        np.concatenate(labels_l, axis=1).reshape(-1),
+        np.concatenate(targets_l, axis=1).reshape(-1, 7),
+        np.concatenate(weights_l, axis=1).reshape(-1),
+        np.concatenate(dir_l, axis=1).reshape(-1),
     )
 
 
@@ -93,8 +98,9 @@ class TestTargets:
         boxes, classes, valid = pad_gt(cfg, gt, np.array([1], np.int32))
         anchors_mask = np.ones(aset.num_anchors, bool)
         out = assigner(boxes, classes, valid, anchors_mask)
-        a0, a1 = aset.class_ranges["vehicle"]
-        labels = np.asarray(out.labels)
-        assert (labels[a0:a1] > 0).sum() >= 1
+        c0, c1 = aset.class_channels["vehicle"]
+        labels = np.asarray(out.labels).reshape(-1, aset.num_channels)
+        assert (labels[:, c0:c1] > 0).sum() >= 1
+        labels = labels.reshape(-1)
         ref = assign_ref_all(cfg, aset, anchors_mask, gt, np.array([1], np.int32))
         np.testing.assert_array_equal(labels, ref[0])
