@@ -1,0 +1,50 @@
+"""End-to-end learning smoke test: overfit one synthetic scene and verify
+detections emerge where the gt is. This is the strongest single correctness
+signal the suite has — it exercises voxelize → mask → targets → model →
+losses → Adam → postprocess in concert, the full reference train+infer path
+(reference train.py:23-162 + :187-270) in miniature.
+"""
+
+import jax
+import numpy as np
+
+from det3d_tpu.data.synthetic import sample_scene
+from det3d_tpu.postprocess import to_annos
+from det3d_tpu.train.trainer import Trainer, host_batch
+from helpers import small_cfg
+
+
+def test_overfit_single_scene_detects_objects():
+    cfg = small_cfg(max_points=4096, max_voxels=512, batch_size=1).replace(
+        learning_rate=2e-3
+    )
+    rng = np.random.RandomState(4)
+    scene = sample_scene(cfg, rng, num_objects=(2, 3), ground_points=1500)
+    assert len(scene["gt_boxes"]) >= 2
+
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = jax.device_put(host_batch(cfg, [scene]))
+
+    losses = []
+    for _ in range(150):
+        state, loss_dict, _ = trainer.train_step_jit(state, batch)
+        losses.append(float(loss_dict["loss"]))
+
+    # loss must collapse on a memorized scene
+    assert losses[-1] < losses[0] * 0.2, (losses[0], losses[-1])
+
+    # inference on the same scene must fire near the gt boxes
+    pts, n = trainer.detector.pad_points(scene["points"])
+    det = trainer.eval_step_jit(state, pts, n)
+    annos = to_annos(cfg, jax.device_get(det))
+    assert len(annos["name"]) > 0, "no detections after overfitting"
+
+    # at least half the gt boxes must have a detection within 2m
+    gt = scene["gt_boxes"]
+    dt = annos["location"]
+    hits = 0
+    for g in gt:
+        if len(dt) and np.min(np.linalg.norm(dt[:, :2] - g[:2], axis=1)) < 2.0:
+            hits += 1
+    assert hits >= max(1, len(gt) // 2), (hits, len(gt))
