@@ -145,9 +145,22 @@ def voxelize(
         #   counts[s]    = (next head pos after fcfs_perm[s]) - fcfs_perm[s]
         #   voxels[s, p] = spoints[fcfs_perm[s] + p]   (segments are
         #                  consecutive in the sorted order)
-        first_rank = jnp.where(head, order, jnp.iinfo(jnp.int32).max)
-        fcfs_perm = jnp.argsort(first_rank)             # (n,)
-        headpos = fcfs_perm[: spec.max_voxels]          # (V,)
+        # fcfs rank of each pillar = #heads whose first point arrived earlier
+        # = prefix count over original positions (scatter + cumsum replaces a
+        # second full argsort, ~0.5ms on the 120k array)
+        head_flag = (
+            jnp.zeros((n,), jnp.int32)
+            .at[jnp.where(head, order, n)]
+            .set(1, mode="drop", unique_indices=True)
+        )
+        rank_by_orig = jnp.cumsum(head_flag) - 1        # rank at ORIGINAL index
+        slot_of_head = rank_by_orig[order]              # (n,) valid at head positions
+        # headpos[s] = sorted-position of the pillar ranked s
+        headpos = (
+            jnp.zeros((spec.max_voxels,), jnp.int32)
+            .at[jnp.where(head, jnp.minimum(slot_of_head, spec.max_voxels), spec.max_voxels)]
+            .set(pos, mode="drop")
+        )
         slot_ids = jnp.arange(spec.max_voxels, dtype=jnp.int32)
         valid_slot = slot_ids < voxel_num
 
