@@ -39,12 +39,13 @@ def _batch_iterator(cfg: Config, synthetic: bool, seed: int = 0):
             yield host_batch(cfg, samples)
     else:
         from det3d_tpu.data.dataset import DetectionDataset
+        from det3d_tpu.data.prefetcher import BatchPrefetcher
 
         ds = DetectionDataset(cfg, cfg.train_info, training=True, seed=seed)
-        while True:
-            order = ds.epoch_order(shuffle=True)
-            for start in range(0, len(order) - cfg.batch_size + 1, cfg.batch_size):
-                yield host_batch(cfg, [ds[i] for i in order[start : start + cfg.batch_size]])
+        # num_workers>0 → forked worker processes do IO+augmentation ahead of
+        # the consumer (reference DataLoader workers, train.py:37-55)
+        pf = BatchPrefetcher(ds, cfg, cfg.num_workers, seed=seed)
+        yield from pf.epochs()
 
 
 def _eval_samples(cfg: Config, synthetic: bool, n: int, seed: int = 1):
