@@ -1,0 +1,86 @@
+"""Device-level profiling of the fused pipeline with per-source attribution.
+
+Captures a jax.profiler trace of N inference runs, dumps the optimized HLO,
+and prints device time aggregated by source file:line. This is the ONLY
+reliable fine-grained timing on the axon relay (see CLAUDE.md: sub-pipeline
+wall timers read ~0 because pure-XLA programs evaluate lazily there).
+
+Usage: python tools/trace_pipeline.py [--config configs/ntusl_20cm.json]
+"""
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/ntusl_20cm.json")
+    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--top", type=int, default=25)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from bench import synthetic_cloud
+    from det3d_tpu.config import load_config
+    from det3d_tpu.pipeline import Detector
+
+    cfg = load_config(args.config, max_points=120_000)
+    det = Detector(cfg)
+    v = det.init_variables(jax.random.PRNGKey(0))
+    clouds = [
+        jax.device_put(synthetic_cloud(cfg.max_points, 100_000, seed=s))
+        for s in range(args.frames)
+    ]
+    n = jax.device_put(np.int32(100_000))
+
+    hlo = jax.jit(det.infer).lower(v, clouds[0], n).compile().as_text()
+    src = {}
+    for m in re.finditer(r"%([\w.\-]+) = .*?source_file=\"([^\"]+)\" source_line=(\d+)", hlo):
+        src[m.group(1)] = f"{m.group(2).split('/')[-1]}:{m.group(3)}"
+
+    jax.block_until_ready(det.infer_jit(v, clouds[0], n))
+    trace_dir = tempfile.mkdtemp(prefix="det3d-trace-")
+    jax.profiler.start_trace(trace_dir)
+    for c in clouds:
+        out = det.infer_jit(v, c, n)
+    jax.block_until_ready(out)
+    jax.profiler.stop_trace()
+
+    path = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))[-1]
+    with gzip.open(path) as f:
+        t = json.load(f)
+    events = t["traceEvents"]
+    pids = {
+        e["pid"]: e["args"].get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    agg = collections.Counter()
+    total = 0
+    for e in events:
+        if (
+            e.get("ph") == "X"
+            and "TPU" in pids.get(e["pid"], "")
+            and not e["name"].startswith("jit_")
+        ):
+            loc = src.get(e["name"], "?? " + e["name"].split(".")[0])
+            agg[loc] += e.get("dur", 0)
+            total += e.get("dur", 0)
+    print(f"device total: {total / args.frames / 1e3:.2f} ms/frame")
+    for loc, dur in agg.most_common(args.top):
+        print(f"{dur / args.frames / 1e3:8.3f} ms  {loc}")
+    print(f"(trace: {path})")
+
+
+if __name__ == "__main__":
+    main()
