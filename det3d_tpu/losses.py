@@ -94,31 +94,60 @@ def detection_loss(
     weights: LossWeights = LossWeights(),
 ) -> dict[str, jax.Array]:
     """Total detection loss + components (reference:
-    framework/loss_generator.py:26-72)."""
-    cls_preds = preds["cls_preds"].astype(jnp.float32)   # (B, A, 1)
-    box_preds = preds["box_preds"].astype(jnp.float32)   # (B, A, 7)
-    dir_preds = preds["dir_preds"].astype(jnp.float32)   # (B, A, 2)
-    batch = cls_preds.shape[0]
+    framework/loss_generator.py:26-72).
 
+    TPU layout note: all million-anchor elementwise math runs on shapes with
+    the anchor axis MINOR ((B, A) / (B, 7, A)) — the natural (B, A, k≤7)
+    shapes put only k elements in the 128-lane dimension and were ~10x
+    slower. Same math, reassociated reductions only.
+    """
+    batch = labels.shape[0]
     cls_weights, reg_weights, cared = prepare_loss_weights(labels)
-    cls_targets = (labels * cared.astype(labels.dtype)).astype(jnp.float32)[..., None]
 
-    box_p, reg_t = add_sin_difference(box_preds, reg_targets)
-    loc_loss = smooth_l1_loss(box_p, reg_t, reg_weights)
-    cls_loss = focal_loss(cls_preds, cls_targets, cls_weights)
+    # -- classification: k=1 → squeeze to (B, A) ---------------------------
+    cls_logits = preds["cls_preds"].astype(jnp.float32).reshape(labels.shape)
+    cls_targets = (labels * cared.astype(labels.dtype)).astype(jnp.float32)
+    ce = (
+        jnp.maximum(cls_logits, 0.0)
+        - cls_logits * cls_targets
+        + jnp.log1p(jnp.exp(-jnp.abs(cls_logits)))
+    )
+    probs = jax.nn.sigmoid(cls_logits)
+    p_t = cls_targets * probs + (1 - cls_targets) * (1 - probs)
+    alpha_w = cls_targets * 0.25 + (1 - cls_targets) * 0.75
+    cls_loss = jnp.square(1.0 - p_t) * alpha_w * ce * cls_weights  # γ=2
 
-    loc_loss_reduced = jnp.sum(loc_loss) / batch * weights.loc_weight
     cls_loss_reduced = jnp.sum(cls_loss) / batch * weights.cls_weight
-
     pos = (labels > 0).astype(jnp.float32)
     neg = (labels == 0).astype(jnp.float32)
-    cls_flat = jnp.sum(cls_loss, axis=-1)
-    cls_pos_loss = jnp.sum(pos * cls_flat) / batch
-    cls_neg_loss = jnp.sum(neg * cls_flat) / batch
+    cls_pos_loss = jnp.sum(pos * cls_loss) / batch
+    cls_neg_loss = jnp.sum(neg * cls_loss) / batch
 
-    dir_onehot = jax.nn.one_hot(dir_targets, 2, dtype=jnp.float32)
+    # -- localization: transpose to (B, 7, A) for full-lane elementwise ----
+    box_p = preds["box_preds"].astype(jnp.float32).transpose(0, 2, 1)
+    reg_t = reg_targets.astype(jnp.float32).transpose(0, 2, 1)
+    # sin-difference angle encoding on the yaw channel
+    yaw_p = box_p[:, 6:7] ; yaw_t = reg_t[:, 6:7]
+    box_p = jnp.concatenate([box_p[:, :6], jnp.sin(yaw_p) * jnp.cos(yaw_t)], axis=1)
+    reg_t = jnp.concatenate([reg_t[:, :6], jnp.cos(yaw_p) * jnp.sin(yaw_t)], axis=1)
+    diff = box_p - reg_t
+    abs_diff = jnp.abs(diff)
+    cut = 1.0 / 9.0  # sigma = 3
+    lt = (abs_diff <= cut).astype(jnp.float32)
+    l1 = lt * 0.5 * jnp.square(abs_diff * 3.0) + (abs_diff - 0.5 * cut) * (1.0 - lt)
+    loc_loss_reduced = (
+        jnp.sum(l1 * reg_weights[:, None, :]) / batch * weights.loc_weight
+    )
+
+    # -- direction: explicit 2-logit softmax CE on (B, A) slices -----------
+    dir_logits = preds["dir_preds"].astype(jnp.float32)
+    l0 = dir_logits[..., 0]
+    l1_ = dir_logits[..., 1]
+    m = jnp.maximum(l0, l1_)
+    lse = m + jnp.log(jnp.exp(l0 - m) + jnp.exp(l1_ - m))
+    picked = jnp.where(dir_targets > 0, l1_, l0)
     dir_w = pos / jnp.maximum(jnp.sum(pos, axis=-1, keepdims=True), 1.0)
-    dir_loss = jnp.sum(softmax_cross_entropy(dir_preds, dir_onehot) * dir_w) / batch
+    dir_loss = jnp.sum((lse - picked) * dir_w) / batch
 
     loss = loc_loss_reduced + cls_loss_reduced + dir_loss * weights.dir_weight
     return {

@@ -52,22 +52,25 @@ def _assign_one_class(
     unmatched_threshold: float,
 ):
     gt_bv = geometry.rbbox2d_to_near_bbox(gt_boxes[:, jnp.array([0, 1, 3, 4, 6])])
-    overlap = geometry.iou_matrix(anchors_bv, gt_bv, eps=0.0)        # (Ac, G)
+    # (G, Ac) orientation: the anchor axis is minor, so the ~1M-wide
+    # elementwise/reduce ops fill all 128 VPU lanes (the (Ac, G) orientation
+    # wastes 2x+ on lane padding and dominated the train step)
+    overlap = geometry.iou_matrix(gt_bv, anchors_bv, eps=0.0)        # (G, Ac)
     included = anchors_mask
-    overlap = jnp.where(included[:, None] & gt_valid[None, :], overlap, -1.0)
+    overlap = jnp.where(gt_valid[:, None] & included[None, :], overlap, -1.0)
 
-    anchor_to_gt_argmax = jnp.argmax(overlap, axis=1)                # (Ac,)
-    anchor_to_gt_max = jnp.max(overlap, axis=1)
+    anchor_to_gt_argmax = jnp.argmax(overlap, axis=0)                # (Ac,)
+    anchor_to_gt_max = jnp.max(overlap, axis=0)
 
-    gt_to_anchor_max = jnp.max(overlap, axis=0)                      # (G,)
+    gt_to_anchor_max = jnp.max(overlap, axis=1)                      # (G,)
     # gts with zero best overlap must not force-match (reference :374-375)
     force = (
-        (overlap == gt_to_anchor_max[None, :])
-        & (gt_to_anchor_max[None, :] > 0)
-        & gt_valid[None, :]
-        & included[:, None]
+        (overlap == gt_to_anchor_max[:, None])
+        & (gt_to_anchor_max[:, None] > 0)
+        & gt_valid[:, None]
+        & included[None, :]
     )
-    force_any = jnp.any(force, axis=1)                               # (Ac,)
+    force_any = jnp.any(force, axis=0)                               # (Ac,)
 
     pos = anchor_to_gt_max >= matched_threshold
     bg = anchor_to_gt_max < unmatched_threshold
@@ -76,17 +79,20 @@ def _assign_one_class(
     ).astype(jnp.int32)
     labels = jnp.where(included, labels, -1)
 
-    matched_gt = gt_boxes[anchor_to_gt_argmax]                       # (Ac, 7)
-    encoded = geometry.box_encode(matched_gt, anchors)
+    # channel-major encode: (7, G) gt table gathered per anchor keeps the
+    # Ac-wide elementwise ops on full lanes (see box_encode_transposed)
+    gt_t = gt_boxes.T                                                # (7, G)
+    matched_gt_t = gt_t[:, anchor_to_gt_argmax]                      # (7, Ac)
+    encoded_t = geometry.box_encode_transposed(matched_gt_t, anchors.T)
     fg = labels > 0
-    bbox_targets = jnp.where(fg[:, None], encoded, 0.0)
+    bbox_targets_t = jnp.where(fg[None, :], encoded_t, 0.0)          # (7, Ac)
     weights = fg.astype(jnp.float32)
 
     # direction target from the (possibly zero-filled) regression target,
     # exactly as reference get_direction_target (:454-457)
-    rot_gt = bbox_targets[:, -1] + anchors[:, -1]
+    rot_gt = bbox_targets_t[-1] + anchors[:, -1]
     dir_targets = (rot_gt > 0).astype(jnp.int32)
-    return labels, bbox_targets, weights, dir_targets
+    return labels, bbox_targets_t.T, weights, dir_targets
 
 
 def make_target_assigner(cfg: Config, anchor_set: AnchorSet):
