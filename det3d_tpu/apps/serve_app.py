@@ -28,9 +28,9 @@ from det3d_tpu.postprocess import to_annos
 class PointCloudServer:
     """Bounded-queue streaming inference (reference ros_node.py:52-83)."""
 
-    def __init__(self, cfg: Config, variables, *, queue_size: int = 2):
+    def __init__(self, cfg: Config, variables, *, detector: Detector | None = None, queue_size: int = 2):
         self.cfg = cfg
-        self.detector = Detector(cfg)
+        self.detector = detector or Detector(cfg)
         self.variables = variables
         self.queue: queue.Queue = queue.Queue(maxsize=queue_size)
         self.latencies: list[float] = []
@@ -102,13 +102,11 @@ def serve_synthetic(
             trainer.init_state(jax.random.PRNGKey(0))
         )
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        server = PointCloudServer(cfg, variables)
-        server.detector = trainer.detector
+        server = PointCloudServer(cfg, variables, detector=trainer.detector)
     else:
         det = Detector(cfg)
         variables = det.init_variables(jax.random.PRNGKey(0))
-        server = PointCloudServer(cfg, variables)
-        server.detector = det
+        server = PointCloudServer(cfg, variables, detector=det)
 
     server.warmup()
     rng = np.random.RandomState(0)

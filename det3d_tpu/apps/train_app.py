@@ -140,13 +140,18 @@ def train(
 
     t0 = time.perf_counter()
     step = int(state.step)
+    pending_counts = []  # device objects; fetched only at display time (a
+    # per-step device_get would force a host sync every step)
     while step < max_steps:
         batch = place(next(batches))
         state, loss_dict, counts = step_fn(state, batch)
         step += 1
-        metrics.update(jax.device_get(counts))
+        pending_counts.append(counts)
 
         if step % display_step == 0:
+            for c in jax.device_get(pending_counts):
+                metrics.update(c)
+            pending_counts.clear()
             ld = {k: float(v) for k, v in jax.device_get(loss_dict).items()}
             dt = (time.perf_counter() - t0) / display_step
             print(

@@ -30,7 +30,8 @@ def main(argv: list[str] | None = None) -> None:
 
     def add_common(p):
         p.add_argument("--config", default="configs/ntusl_20cm.json")
-        p.add_argument("--max-points", type=int, default=120_000)
+        # None sentinel: only override the JSON's max_points when given
+        p.add_argument("--max-points", type=int, default=None)
         p.add_argument("--synthetic", action="store_true", help="generated scenes instead of dataset files")
 
     p = sub.add_parser("train", help="training loop (reference train.py:23)")
@@ -96,7 +97,8 @@ def main(argv: list[str] | None = None) -> None:
         create_info(args.root, out_path=args.out, waymo=args.waymo, num_features=args.num_features)
         return
 
-    cfg = load_config(args.config, max_points=args.max_points)
+    overrides = {} if args.max_points is None else {"max_points": args.max_points}
+    cfg = load_config(args.config, **overrides)
 
     if args.cmd == "train":
         if args.batch_size:

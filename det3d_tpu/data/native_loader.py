@@ -94,17 +94,24 @@ class AsyncPointCloudLoader:
             max_points, num_features, queue_depth, num_threads, int(shuffle), seed
         )
         self._out = np.empty((max_points, num_features), np.float32)
+        self._paths: list[str] = []
+        self._consumed = 0
 
     def submit(self, path: str | Path) -> None:
         rc = self._lib.pcl_submit(self._h, str(path).encode())
         if rc != 0:
             raise RuntimeError(f"submit failed ({rc})")
+        self._paths.append(str(path))
 
     def finish(self) -> None:
         self._lib.pcl_finish(self._h)
 
-    def next(self) -> tuple[np.ndarray, int] | None:
-        """Blocking next frame; None when drained after finish()."""
+    def next(self, *, missing_ok: bool = False) -> tuple[np.ndarray, int] | None:
+        """Blocking next frame; None when drained after finish().
+
+        Raises FileNotFoundError for an unreadable file (matching the numpy
+        fallback path) unless `missing_ok`, in which case an all-zero frame
+        with n=0 is returned."""
         n = ctypes.c_int(0)
         rc = self._lib.pcl_next(
             self._h,
@@ -113,7 +120,11 @@ class AsyncPointCloudLoader:
         )
         if rc == -1:
             return None
-        if rc != 0:
+        path = self._paths[self._consumed] if self._consumed < len(self._paths) else "?"
+        self._consumed += 1
+        if rc == 1 and not missing_ok:
+            raise FileNotFoundError(f"native loader could not read {path}")
+        if rc not in (0, 1):
             raise RuntimeError(f"next failed ({rc})")
         return self._out.copy(), int(n.value)
 

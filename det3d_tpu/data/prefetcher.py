@@ -62,7 +62,11 @@ class BatchPrefetcher:
         self.prefetch = prefetch
         self._pool = None
         if self.num_workers > 0:
-            ctx = mp.get_context("fork")
+            # spawn, not fork: the consumer has usually initialized the JAX
+            # backend by the time the first batch is requested, and forking a
+            # multithreaded XLA runtime is a documented deadlock hazard. The
+            # dataset is pickled once per worker at startup.
+            ctx = mp.get_context("spawn")
             self._pool = ctx.Pool(
                 self.num_workers, initializer=_init_worker, initargs=(dataset,)
             )
@@ -74,7 +78,8 @@ class BatchPrefetcher:
         bs = self.cfg.batch_size
         idxs = order[: (len(order) // bs) * bs]
         jobs = [
-            (self.seed * 1_000_003 + epoch * 997 + int(i), i) for i in idxs
+            ((self.seed * 1_000_003 + epoch * 9_999_991 + int(i)) & 0xFFFFFFFF, i)
+            for i in idxs
         ]
         if self._pool is None:
             samples = map(_load_one_local(self.dataset), jobs)

@@ -309,7 +309,7 @@ class SharedHead(nn.Module):
 
 class MultiHead(nn.Module):
     """Per-class heads over the shared RPN features, concatenated into the
-    same anchor-major flat layout as SharedHead.
+    same location-major flat layout as SharedHead.
 
     The reference's head evolution (SingleHead/MultiHead(s),
     networks/pointpillars8_shared.py:184-296, and the per-class variants in

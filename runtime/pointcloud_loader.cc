@@ -36,6 +36,7 @@ struct Slot {
   std::vector<float> data;   // (max_points * num_features)
   int n = 0;                 // true point count
   bool ready = false;
+  bool failed = false;       // fopen/IO failure (propagated to pcl_next)
 };
 
 struct Loader {
@@ -63,9 +64,12 @@ struct Loader {
 
 void ReadFile(Loader* L, uint64_t ticket, const std::string& path) {
   Slot& slot = L->slots[ticket % L->queue_depth];
+  slot.failed = false;
   int n = 0;
   FILE* f = std::fopen(path.c_str(), "rb");
-  if (f != nullptr) {
+  if (f == nullptr) {
+    slot.failed = true;  // surfaced as rc=1 from pcl_next, not a silent empty frame
+  } else {
     std::fseek(f, 0, SEEK_END);
     long bytes = std::ftell(f);
     std::fseek(f, 0, SEEK_SET);
@@ -182,13 +186,14 @@ int pcl_next(void* h, float* out, int* n_out) {
   std::memcpy(out, slot.data.data(),
               static_cast<size_t>(L->max_points) * L->num_features * sizeof(float));
   *n_out = slot.n;
+  bool failed = slot.failed;
   {
     std::lock_guard<std::mutex> lk(L->mu);
     slot.ready = false;
     L->next_consume = ticket + 1;
   }
   L->cv_space.notify_all();
-  return 0;
+  return failed ? 1 : 0;  // 1 = this frame's file could not be opened
 }
 
 void pcl_finish(void* h) {

@@ -63,12 +63,17 @@ def test_shuffle_deterministic_and_permutes(bin_dir):
     assert np.array_equal(np.sort(s1[:n1], axis=0), np.sort(refs[0], axis=0))
 
 
-def test_missing_file_yields_empty(bin_dir):
+def test_missing_file_raises_unless_opted_out(bin_dir):
     tmp, _ = bin_dir
     with AsyncPointCloudLoader(1000, 4) as ld:
         ld.submit(tmp / "does_not_exist.bin")
         ld.finish()
-        pts, n = ld.next()
+        with pytest.raises(FileNotFoundError, match="does_not_exist"):
+            ld.next()
+    with AsyncPointCloudLoader(1000, 4) as ld:
+        ld.submit(tmp / "does_not_exist.bin")
+        ld.finish()
+        pts, n = ld.next(missing_ok=True)
         assert n == 0
         assert np.all(pts == 0)
 
