@@ -15,8 +15,9 @@ networks/pointpillars8_shared.py):
     conv upsample heads (widths 64/128/128) concatenated to 320 channels at
     the 400x400 scale (reference :114-181, :418-431).
   * SharedHead — 1x1 convs → cls(9)/box(9*7)/dir(9*2), reshaped to the
-    anchor-major flat ordering [anchor][x][y] that matches anchors.py
-    (reference :299-343).
+    location-major flat ordering (x*fy+y)*A+a that matches anchors.py
+    (the reference reshapes to anchor-major instead, :299-343 — see
+    SharedHead for why that transpose is skipped here).
 
 Differences, by design (TPU-first, not a translation):
   * NHWC layout everywhere (TPU conv-native) instead of NCHW.
