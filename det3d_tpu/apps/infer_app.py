@@ -13,10 +13,7 @@ from __future__ import annotations
 
 import pickle
 import time
-from pathlib import Path
-
 import jax
-import numpy as np
 
 from det3d_tpu.config import Config
 from det3d_tpu.pipeline import Detector

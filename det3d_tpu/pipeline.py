@@ -25,7 +25,7 @@ from det3d_tpu.ops.anchor_mask import (
     compute_anchors_mask_separable,
 )
 from det3d_tpu.ops.voxelize import VoxelizerSpec, voxelize
-from det3d_tpu.postprocess import Detections, PostProcessParams, make_postprocessor, to_annos
+from det3d_tpu.postprocess import Detections, make_postprocessor, to_annos
 
 
 class Detector:

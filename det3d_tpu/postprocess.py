@@ -24,7 +24,6 @@ NMS hyper-parameters are the reference's hard-coded values
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -9,10 +9,7 @@ state, and step counter. Implemented with orbax.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from det3d_tpu.train.trainer import TrainState
