@@ -160,12 +160,17 @@ def scatter_to_bev(
 
 def _instance_norm(x: jax.Array, name: str) -> jax.Array:
     """InstanceNorm2d, affine=False, eps=1e-3 — matches the RPN's norm layer
-    (reference networks/pointpillars8_shared.py:128). Stateless (no params),
-    computed in float32."""
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-    var = jnp.var(xf, axis=(1, 2), keepdims=True)
-    return ((xf - mean) * jax.lax.rsqrt(var + 1e-3)).astype(x.dtype)
+    (reference networks/pointpillars8_shared.py:128). Stateless (no params).
+
+    Statistics accumulate in f32 (reduction dtype) without materializing an
+    f32 copy of the activation map; the normalize pass runs in the input
+    dtype. Single-pass variance (E[x²]−E[x]²) is safe at these activation
+    magnitudes with the reference's large eps=1e-3."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    m2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2), keepdims=True)
+    var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + 1e-3).astype(x.dtype)
+    return (x - mean.astype(x.dtype)) * inv
 
 
 class DeconvUpsample(nn.Module):
