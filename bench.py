@@ -41,6 +41,14 @@ def synthetic_cloud(max_points: int, n: int, seed: int = 0) -> np.ndarray:
 def main() -> None:
     import jax
 
+    # persistent compile cache: the remote AOT helper takes ~10 min cold on
+    # the full pipeline; cached compiles load in seconds
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
     from det3d_tpu.config import load_config
     from det3d_tpu.pipeline import Detector
 

@@ -17,3 +17,8 @@ if "--xla_force_host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+try:  # persistent compile cache shaves minutes off repeat suite runs
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:
+    pass
