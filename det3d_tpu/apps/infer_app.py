@@ -80,8 +80,11 @@ def infer(
         print(f"wrote {out_path}")
 
     eval_strs = []
+    cache: dict = {}  # rotated-IoU matrices shared across the range sweep
     for rt in range_thresholds:
-        _, s = get_official_eval_result(gt_annos, dt_annos, list(cfg.detect_class), rt)
+        _, s = get_official_eval_result(
+            gt_annos, dt_annos, list(cfg.detect_class), rt, overlaps_cache=cache
+        )
         print(s)
         eval_strs.append(s)
     return {"dt_annos": dt_annos, "gt_annos": gt_annos, "eval_strs": eval_strs, "avg_ms": avg_ms}

@@ -157,9 +157,10 @@ def _frame_overlaps(gt_annos, dt_annos, metric):
 
 
 def eval_class_ap(gt_annos, dt_annos, class_names, metric,
-                  num_points_thresh, range_thresh):
+                  num_points_thresh, range_thresh, overlaps=None):
     assert len(gt_annos) == len(dt_annos)
-    overlaps = _frame_overlaps(gt_annos, dt_annos, metric)
+    if overlaps is None:
+        overlaps = _frame_overlaps(gt_annos, dt_annos, metric)
 
     num_class = len(class_names)
     num_overlap = len(next(iter(MIN_OVERLAPS.values())))
@@ -215,17 +216,28 @@ def get_map(prec: np.ndarray) -> np.ndarray:
 
 
 def get_official_eval_result(gt_annos, dt_annos, class_names, range_thresh,
-                             num_point_threshold: int = 5):
+                             num_point_threshold: int = 5, overlaps_cache: dict | None = None):
     """BEV + 3D mAP table with the reference's formatting
-    (reference eval/eval.py:461-483)."""
+    (reference eval/eval.py:461-483).
+
+    `overlaps_cache`: optional dict reused across calls (e.g. a range
+    sweep) to avoid recomputing the rotated-IoU matrices — the device-heavy
+    part — per threshold; the reference recomputes them every call
+    (train.py:260-270)."""
     results = []
     eval_str = ""
     for metric in ("bev", "3d"):
         eval_str += "\n#### Metric: %s, num_points > %d and range < %.2f\n" % (
             metric, num_point_threshold, range_thresh,
         )
+        overlaps = None
+        if overlaps_cache is not None:
+            if metric not in overlaps_cache:
+                overlaps_cache[metric] = _frame_overlaps(gt_annos, dt_annos, metric)
+            overlaps = overlaps_cache[metric]
         ret = eval_class_ap(
-            gt_annos, dt_annos, class_names, metric, num_point_threshold, range_thresh
+            gt_annos, dt_annos, class_names, metric, num_point_threshold,
+            range_thresh, overlaps=overlaps,
         )
         m_ap = get_map(ret["precision"])
         results.append(m_ap)

@@ -131,3 +131,20 @@ class TestPieces:
         tp, fp, fn, _ = compute_statistics(overlaps, ig, idt, scores, 0.7,
                                            thresh=0.0, compute_fp=True)
         assert (tp, fp, fn) == (1, 1, 1)
+
+
+def test_overlaps_cache_gives_identical_results():
+    rng = np.random.RandomState(5)
+    gt, dt = [], []
+    for f in range(10):
+        centers = [(5 + f, 0), (20, 3 + f)]
+        gt.append(vehicle_scene(centers))
+        dt.append(vehicle_scene(centers, scores=rng.uniform(0.3, 1.0, 2)))
+    cache = {}
+    r1, s1 = get_official_eval_result(gt, dt, CLASSES, 80.0, overlaps_cache=cache)
+    assert set(cache) == {"bev", "3d"}
+    r2, s2 = get_official_eval_result(gt, dt, CLASSES, 85.0, overlaps_cache=cache)
+    r2_nc, s2_nc = get_official_eval_result(gt, dt, CLASSES, 85.0)
+    assert s2 == s2_nc
+    for a, b in zip(r2, r2_nc):
+        np.testing.assert_array_equal(a, b)
