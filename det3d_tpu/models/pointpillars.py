@@ -158,6 +158,31 @@ def scatter_to_bev(
     return jax.vmap(scatter_one)(canvas, pillar_features, coors)
 
 
+def scatter_to_bev_s2d(
+    pillar_features: jax.Array,  # (B, V, C)
+    coors: jax.Array,            # (B, V, 3) int32, -1 rows dropped
+    grid_xy: tuple[int, int],
+) -> jax.Array:                  # (B, nx/2, ny/2, 4C)
+    """Scatter pillars directly into the space-to-depth canvas layout
+    consumed by EntryS2DConv: cell (x, y) → z[x//2, y//2, phase block],
+    phase = (x%2)*2 + y%2. Same scatter cost as the dense canvas, but the
+    4C channel dim fills the full 128-lane tile from the first conv on."""
+    nx, ny = grid_xy
+    assert nx % 2 == 0 and ny % 2 == 0
+    b, v, c = pillar_features.shape
+    canvas = jnp.zeros((b, nx // 2, ny // 2, 4, c), pillar_features.dtype)
+
+    def scatter_one(cv, feats, crs):
+        valid = crs[:, 0] >= 0
+        cx = jnp.where(valid, crs[:, 0] // 2, nx)  # OOB row → dropped
+        cy = crs[:, 1] // 2
+        phase = (crs[:, 0] % 2) * 2 + (crs[:, 1] % 2)
+        return cv.at[cx, cy, phase, :].set(feats, mode="drop", unique_indices=True)
+
+    out = jax.vmap(scatter_one)(canvas, pillar_features, coors)
+    return out.reshape(b, nx // 2, ny // 2, 4 * c)
+
+
 def _instance_norm(x: jax.Array, name: str) -> jax.Array:
     """InstanceNorm2d, affine=False, eps=1e-3 — matches the RPN's norm layer
     (reference networks/pointpillars8_shared.py:128). Stateless (no params).
@@ -228,6 +253,66 @@ class PreActResidual(nn.Module):
         return x + h
 
 
+class EntryS2DConv(nn.Module):
+    """The stride-2 3x3 entry conv, folded onto a space-to-depth input.
+
+    A stride-2 conv reads disjoint 2x2 phases of the input, so on a canvas
+    stored as (H/2, W/2, 4C) space-to-depth (phase channel = (x%2)*2 + y%2)
+    it is exactly a stride-1 2x2 conv whose (2,2,4C,O) kernel is the 3x3
+    kernel's taps rearranged (one phase cell unused → zero taps). C=64 at
+    800x800 fills half the MXU lanes; 4C=256 at 400x400 fills them all.
+    The parameter keeps the nn.Conv (3,3,C,O) shape/init: checkpoints are
+    interchangeable with the plain conv."""
+
+    features: int
+    in_channels: int
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> jax.Array:  # z: (B, H/2, W/2, 4C)
+        c, o = self.in_channels, self.features
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(batch_axis=(), in_axis=(0, 1, 2), out_axis=3),
+            (3, 3, c, o),
+            jnp.float32,
+        )
+        # K[p, q, (a*2+b)*C + c, o] = W[2p+a-1, 2q+b-1, c, o] (zero when the
+        # tap index leaves [0, 2]; torch pad (1,0) makes out(i) read rows
+        # {2i-1, 2i, 2i+1} = phases (p=0,a=1), (p=1,a=0), (p=1,a=1))
+        wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))  # index di+1+1 = di+2... see below
+        # wp[r, s] = W[r-1, s-1] with zeros at r==0/s==0; tap row index into
+        # wp is (2p+a-1)+1 = 2p+a, valid ∈ [0, 3] with wp row 0 == zero pad
+        k = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        jnp.concatenate(
+                            [
+                                jnp.concatenate(
+                                    [wp[2 * p + a, 2 * q + b] for b in (0, 1)], axis=0
+                                )
+                                for a in (0, 1)
+                            ],
+                            axis=0,
+                        )
+                        for q in (0, 1)
+                    ],
+                    axis=0,
+                )
+                for p in (0, 1)
+            ],
+            axis=0,
+        )  # (2, 2, 4C, O)
+        return jax.lax.conv_general_dilated(
+            z.astype(self.compute_dtype),
+            k.astype(self.compute_dtype),
+            window_strides=(1, 1),
+            padding=((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class RPN(nn.Module):
     """Multi-scale 2D backbone + upsample-concat neck.
 
@@ -239,6 +324,7 @@ class RPN(nn.Module):
     num_filters: tuple[int, ...] = (64, 128, 256)
     upsample_strides: tuple[int, ...] = (1, 2, 4)
     num_upsample_filters: tuple[int, ...] = (64, 128, 128)
+    entry_s2d: bool = False  # input is space-to-depth (B, H/2, W/2, 4C)
 
     @property
     def out_channels(self) -> int:
@@ -250,10 +336,15 @@ class RPN(nn.Module):
         for b, (depth, width, up_stride, up_width) in enumerate(
             zip(self.layer_nums, self.num_filters, self.upsample_strides, self.num_upsample_filters)
         ):
-            x = nn.Conv(
-                width, (3, 3), strides=(2, 2), padding=_PAD_S2, use_bias=False,
-                dtype=self.compute_dtype, name=f"block{b}_down",
-            )(x)
+            if b == 0 and self.entry_s2d:
+                x = EntryS2DConv(
+                    width, x.shape[-1] // 4, self.compute_dtype, name="block0_down"
+                )(x)
+            else:
+                x = nn.Conv(
+                    width, (3, 3), strides=(2, 2), padding=_PAD_S2, use_bias=False,
+                    dtype=self.compute_dtype, name=f"block{b}_down",
+                )(x)
             x = _instance_norm(x, f"block{b}_in")
             x = nn.relu(x)
             # depth 2 → residual units with [2, 1] convs; depth 4 → [2, 2, 1]
@@ -375,10 +466,17 @@ class PointPillars(nn.Module):
             compute_dtype=dtype,
             name="pfn",
         )(voxels, num_points, coors, train)
-        canvas = scatter_to_bev(
-            pillar_features, coors, (self.cfg.grid_size[0], self.cfg.grid_size[1])
+        grid_xy = (self.cfg.grid_size[0], self.cfg.grid_size[1])
+        s2d = (
+            getattr(self.cfg, "entry_s2d", False)
+            and grid_xy[0] % 2 == 0
+            and grid_xy[1] % 2 == 0
         )
-        rpn_features = RPN(compute_dtype=dtype, name="rpn")(canvas)
+        if s2d:
+            canvas = scatter_to_bev_s2d(pillar_features, coors, grid_xy)
+        else:
+            canvas = scatter_to_bev(pillar_features, coors, grid_xy)
+        rpn_features = RPN(compute_dtype=dtype, entry_s2d=s2d, name="rpn")(canvas)
         if getattr(self.cfg, "head", "shared") == "multi":
             return MultiHead(
                 anchors_per_class=tuple(

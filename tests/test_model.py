@@ -131,3 +131,33 @@ class TestMultiHead:
         assert np.asarray(out.boxes).shape[0] == len(cfg.class_specs)
         annos = det.detect(v, pts)
         assert "name" in annos
+
+
+class TestEntryS2D:
+    def test_s2d_entry_matches_plain_conv_pipeline(self):
+        """Same params → (numerically) same predictions whether the canvas
+        is dense + stride-2 conv or space-to-depth + folded 2x2 conv."""
+        import jax
+        import numpy as np
+
+        from det3d_tpu.pipeline import Detector
+        from helpers import small_cfg, random_cloud
+
+        cfg_plain = small_cfg().replace(entry_s2d=False)
+        cfg_s2d = small_cfg().replace(entry_s2d=True)
+        det_p = Detector(cfg_plain)
+        det_s = Detector(cfg_s2d)
+        v = det_p.init_variables(jax.random.PRNGKey(0))  # same tree for both
+
+        pts, n = det_p.pad_points(random_cloud(220, seed=5))
+        import jax.numpy as jnp
+
+        frame, mask = det_p.preprocess(jnp.asarray(pts), jnp.asarray(n))
+        args = (frame.voxels[None], frame.num_points_per_voxel[None], frame.coors[None])
+        out_p = det_p.model.apply(v, *args, train=False)
+        out_s = det_s.model.apply(v, *args, train=False)
+        for k in out_p:
+            np.testing.assert_allclose(
+                np.asarray(out_p[k]), np.asarray(out_s[k]), atol=2e-4,
+                err_msg=k,
+            )
