@@ -89,7 +89,7 @@ def prepare_loss_weights(labels: jax.Array):
 def detection_loss(
     preds: dict[str, jax.Array],
     labels: jax.Array,        # (B, A) int32
-    reg_targets: jax.Array,   # (B, A, 7)
+    reg_targets: jax.Array,   # (B, 7, A) channel-major (targets.py contract)
     dir_targets: jax.Array,   # (B, A) int32
     weights: LossWeights = LossWeights(),
 ) -> dict[str, jax.Array]:
@@ -123,9 +123,9 @@ def detection_loss(
     cls_pos_loss = jnp.sum(pos * cls_loss) / batch
     cls_neg_loss = jnp.sum(neg * cls_loss) / batch
 
-    # -- localization: transpose to (B, 7, A) for full-lane elementwise ----
+    # -- localization: (B, 7, A) channel-major for full-lane elementwise ---
     box_p = preds["box_preds"].astype(jnp.float32).transpose(0, 2, 1)
-    reg_t = reg_targets.astype(jnp.float32).transpose(0, 2, 1)
+    reg_t = reg_targets.astype(jnp.float32)  # already channel-major
     # sin-difference angle encoding on the yaw channel
     yaw_p = box_p[:, 6:7] ; yaw_t = reg_t[:, 6:7]
     box_p = jnp.concatenate([box_p[:, :6], jnp.sin(yaw_p) * jnp.cos(yaw_t)], axis=1)

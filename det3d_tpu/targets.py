@@ -37,7 +37,9 @@ from det3d_tpu.ops import geometry
 
 class TargetAssignment(NamedTuple):
     labels: jax.Array            # (A,) int32 in {-1, 0, 1}
-    bbox_targets: jax.Array      # (A, 7) float32
+    bbox_targets: jax.Array      # (7, A) float32 — channel-major: both the
+    # assigner's encode and the loss's smooth-L1 operate lane-efficiently in
+    # this orientation, so it never round-trips through (A, 7)
     bbox_outside_weights: jax.Array  # (A,) float32
     dir_targets: jax.Array       # (A,) int32 in {0, 1}
 
@@ -58,6 +60,9 @@ def _assign_one_class(
     overlap = geometry.iou_matrix(gt_bv, anchors_bv, eps=0.0)        # (G, Ac)
     included = anchors_mask
     overlap = jnp.where(gt_valid[:, None] & included[None, :], overlap, -1.0)
+    # materialize once: XLA otherwise duplicates the IoU computation into
+    # each consumer fusion (max/argmax/force-match), tripling its cost
+    overlap = jax.lax.optimization_barrier(overlap)
 
     anchor_to_gt_argmax = jnp.argmax(overlap, axis=0)                # (Ac,)
     anchor_to_gt_max = jnp.max(overlap, axis=0)
@@ -92,7 +97,7 @@ def _assign_one_class(
     # exactly as reference get_direction_target (:454-457)
     rot_gt = bbox_targets_t[-1] + anchors[:, -1]
     dir_targets = (rot_gt > 0).astype(jnp.int32)
-    return labels, bbox_targets_t.T, weights, dir_targets
+    return labels, bbox_targets_t, weights, dir_targets
 
 
 def make_target_assigner(cfg: Config, anchor_set: AnchorSet):
@@ -130,14 +135,15 @@ def make_target_assigner(cfg: Config, anchor_set: AnchorSet):
                 gt_boxes, cls_valid, mth, uth
             )
             # per-class results are (locations*(c1-c0), ...) — reinterleave
-            # into the location-major channel axis
+            # into the location-major channel axis (bbox targets stay
+            # channel-major (7, ...) throughout)
             labels_l.append(lab.reshape(-1, c1 - c0))
-            targets_l.append(tgt.reshape(-1, c1 - c0, tgt.shape[-1]))
+            targets_l.append(tgt.reshape(7, -1, c1 - c0))
             weights_l.append(w.reshape(-1, c1 - c0))
             dir_l.append(d.reshape(-1, c1 - c0))
         return TargetAssignment(
             labels=jnp.concatenate(labels_l, axis=1).reshape(-1),
-            bbox_targets=jnp.concatenate(targets_l, axis=1).reshape(-1, 7),
+            bbox_targets=jnp.concatenate(targets_l, axis=2).reshape(7, -1),
             bbox_outside_weights=jnp.concatenate(weights_l, axis=1).reshape(-1),
             dir_targets=jnp.concatenate(dir_l, axis=1).reshape(-1),
         )

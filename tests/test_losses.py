@@ -70,7 +70,7 @@ class TestTotalLoss:
             "dir_preds": jnp.asarray(r.randn(b, a, 2).astype(np.float32)),
         }
         labels = jnp.asarray(r.randint(-1, 2, (b, a)).astype(np.int32))
-        reg = jnp.asarray(r.randn(b, a, 7).astype(np.float32))
+        reg = jnp.asarray(r.randn(b, 7, a).astype(np.float32))  # channel-major contract
         dirs = jnp.asarray(r.randint(0, 2, (b, a)).astype(np.int32))
         out = losses.detection_loss(preds, labels, reg, dirs)
         total = float(out["loss"])

@@ -63,7 +63,7 @@ class TestTargets:
 
         ref = assign_ref_all(cfg, aset, anchors_mask, gt_raw, gt_classes_raw)
         np.testing.assert_array_equal(np.asarray(out.labels), ref[0])
-        np.testing.assert_allclose(np.asarray(out.bbox_targets), ref[1], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.bbox_targets).T, ref[1], rtol=1e-4, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(out.bbox_outside_weights), ref[2])
         np.testing.assert_array_equal(np.asarray(out.dir_targets), ref[3])
 
