@@ -31,6 +31,7 @@ def infer(
     breakdown: bool = False,
     out_path: str | None = None,
     seed: int = 1,
+    batch: int = 1,
 ) -> dict:
     """Returns {"dt_annos", "gt_annos", "eval_strs", "avg_ms"}."""
     from det3d_tpu.apps.train_app import _eval_samples
@@ -57,21 +58,51 @@ def infer(
     timers = StageTimers()
     dt_annos = []
     total = 0.0
-    for i, s in enumerate(samples):
-        pts, n = det.pad_points(s["points"])
-        t0 = time.perf_counter()
-        out = det.infer_jit(variables, pts, n)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        if i > 0:  # skip compile
-            total += dt
-            timers.add("e2e", dt)
-        dt_annos.append(to_annos(cfg, jax.device_get(out)))
+    if batch > 1:
+        # vmapped batches amortize per-dispatch latency over `batch` frames
+        import numpy as np
+
+        batched = jax.jit(
+            jax.vmap(lambda p, m: det.infer(variables, p, m))
+        )
+        for start in range(0, len(samples), batch):
+            chunk = samples[start : start + batch]
+            padded = [det.pad_points(s["points"]) for s in chunk]
+            while len(padded) < batch:  # pad the final chunk
+                padded.append(padded[-1])
+            pts = np.stack([p for p, _ in padded])
+            cnt = np.asarray([int(m) for _, m in padded], np.int32)
+            t0 = time.perf_counter()
+            out = batched(pts, cnt)
+            jax.block_until_ready(out)
+            dt = time.perf_counter() - t0
+            if start > 0:
+                total += dt
+                timers.add("e2e", dt / batch)
+            host = jax.device_get(out)
+            for bi in range(len(chunk)):
+                dt_annos.append(
+                    to_annos(cfg, jax.tree.map(lambda x: x[bi], host))
+                )
+        total = total / max(batch, 1) * batch  # keep avg_ms per-frame below
+        denom = max(len(samples) - batch, 1)
+    else:
+        for i, s in enumerate(samples):
+            pts, n = det.pad_points(s["points"])
+            t0 = time.perf_counter()
+            out = det.infer_jit(variables, pts, n)
+            jax.block_until_ready(out)
+            dt = time.perf_counter() - t0
+            if i > 0:  # skip compile
+                total += dt
+                timers.add("e2e", dt)
+            dt_annos.append(to_annos(cfg, jax.device_get(out)))
+        denom = max(len(samples) - 1, 1)
 
     if breakdown:
         _stage_breakdown(det, variables, samples[0], timers)
 
-    avg_ms = 1e3 * total / max(len(samples) - 1, 1)
+    avg_ms = 1e3 * total / denom
     print(f"avg end-to-end: {avg_ms:.2f} ms/frame   [{timers.report()}]")
 
     if out_path:

@@ -50,6 +50,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--exported", default=None, help="run from an AOT-exported artifact dir")
     p.add_argument("--frames", type=int, default=64)
+    p.add_argument("--batch", type=int, default=1, help="vmapped batch size (amortizes dispatch latency)")
     p.add_argument("--breakdown", action="store_true")
     p.add_argument("--out", default=None)
 
@@ -133,6 +134,7 @@ def main(argv: list[str] | None = None) -> None:
                 num_frames=args.frames,
                 breakdown=args.breakdown,
                 out_path=args.out,
+                batch=args.batch,
             )
     elif args.cmd == "eval":
         import pickle

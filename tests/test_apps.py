@@ -222,3 +222,30 @@ class TestCLI:
         ])
         out = capsys.readouterr().out
         assert "Metric: bev" in out and "vehicle" in out
+
+
+class TestBatchedInfer:
+    def test_batched_eval_matches_per_frame(self):
+        """--batch N eval must produce the same detection sets as per-frame
+        (conv batching only reassociates reductions: tiny float drift)."""
+        import numpy as np
+
+        from det3d_tpu.apps.infer_app import infer
+
+        cfg = small_cfg(max_points=2048, max_voxels=256)
+        r1 = infer(cfg, synthetic=True, num_frames=6, range_thresholds=(80.0,), seed=3)
+        r2 = infer(cfg, synthetic=True, num_frames=6, range_thresholds=(80.0,), seed=3, batch=4)
+        assert len(r1["dt_annos"]) == len(r2["dt_annos"]) == 6
+        for a, b in zip(r1["dt_annos"], r2["dt_annos"]):
+            np.testing.assert_array_equal(np.sort(a["name"]), np.sort(b["name"]))
+            if len(a["name"]):
+                # near-tie scores can reorder same-class rows between the
+                # batched and single paths — compare as sorted sets
+                ka = np.lexsort(a["location"].T.round(3))
+                kb = np.lexsort(b["location"].T.round(3))
+                np.testing.assert_allclose(
+                    a["location"][ka], b["location"][kb], atol=1e-3
+                )
+                np.testing.assert_allclose(
+                    np.sort(a["score"]), np.sort(b["score"]), atol=1e-4
+                )
