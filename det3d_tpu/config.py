@@ -137,6 +137,20 @@ class Config:
         cfg = dataclasses.replace(self, **kw)
         if "voxel_size" in kw or "detection_range_raw" in kw:
             cfg = _with_derived(cfg)
+            # keep feature_map_size / per-class feature maps consistent with
+            # the new grid (mirrors load_config) unless explicitly overridden
+            if "feature_map_size" not in kw:
+                fms = (cfg.grid_size[0] // 2, cfg.grid_size[1] // 2, 1)
+                specs = kw.get(
+                    "class_specs",
+                    tuple(
+                        dataclasses.replace(s, feature_map_size=fms)
+                        for s in cfg.class_specs
+                    ),
+                )
+                cfg = dataclasses.replace(
+                    cfg, feature_map_size=fms, class_specs=specs
+                )
         return cfg
 
 

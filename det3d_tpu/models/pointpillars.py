@@ -127,11 +127,15 @@ class PFN(nn.Module):
         )
         x = MaskedBatchNorm(name="pfn_bn")(x, mask, train)
         x = nn.relu(x)
-        # max over the pillar's point slots; padding slots contribute -inf so
-        # they never win (post-ReLU features are >= 0 and empty pillars are
-        # masked out downstream anyway)
-        x = jnp.where(mask[..., None], x, jnp.array(-jnp.inf, x.dtype))
+        # max over ALL of the pillar's point slots, padding included — exactly
+        # the reference semantics (pointpillars8_shared.py:57-60): a padding
+        # slot's features are zero pre-matmul, so post-BN it carries the
+        # per-channel constant relu(BN(0)), which acts as a floor of the max
+        # in every non-full pillar. (An earlier -inf-masked max here was a
+        # real functional divergence, caught by the weights-transplant test.)
         x = jnp.max(x, axis=-2)
+        # empty pillar slots (the padded V dimension the reference never
+        # sees) are zeroed: their coords (-1) drop out of the scatter anyway
         valid = (num_points > 0)[..., None]
         return jnp.where(valid, x, 0.0).astype(self.compute_dtype)
 

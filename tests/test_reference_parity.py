@@ -1,0 +1,341 @@
+"""Cross-framework parity vs the ACTUAL reference model and loss.
+
+These tests import the reference's trainable torch modules read-only from
+/root/reference (networks/pointpillars8_shared.py:11-382 and
+framework/loss_generator.py:26-72), transplant one randomly-initialized
+parameter set into the Flax model, and assert the cls/box/dir predictions
+(and every loss component) match on identical voxel/coords inputs.
+
+This converts "architecture parity" from a claim backed by self-written
+numpy oracles into a measurement against the reference itself.
+
+Intentional divergences, gated off here:
+  * PFN BatchNorm statistics: the Flax model computes batch stats over valid
+    point slots only, the reference's BatchNorm1d averages zeroed padding
+    slots too. The eval-mode test uses running stats (identical semantics);
+    the train-mode test fills every pillar to capacity so the two statistics
+    coincide.
+  * compute dtype: the Flax model defaults to bfloat16; parity runs use
+    compute_dtype="float32" (the supported parity configuration).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from det3d_tpu.config import load_config  # noqa: E402
+from det3d_tpu.models.pointpillars import PointPillars  # noqa: E402
+
+REF_ROOT = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference's torch modules (read-only)."""
+    sys.path.insert(0, REF_ROOT)
+    try:
+        import framework.loss_generator as ref_loss  # noqa: F401
+        import networks.pointpillars8_shared as ref_net  # noqa: F401
+    except Exception as e:  # pragma: no cover - environment without reference
+        pytest.skip(f"reference not importable: {e}")
+    finally:
+        sys.path.remove(REF_ROOT)
+    # the reference forward calls torch.cuda.synchronize() unconditionally
+    # (networks/pointpillars8_shared.py:365) — no-op it for CPU torch
+    torch.cuda.synchronize = lambda *a, **k: None
+    return ref_net, ref_loss
+
+
+def _small_parity_cfg():
+    """Small grid, full 9-anchor class specs (the reference SharedHead is
+    hard-coded to 9 anchors/loc), float32 compute."""
+    return load_config(
+        {
+            "detection_range": [-16.0, -16.0, -2.5, 16.0, 16.0, 8.5],
+            "center_limit": [-16.0, -16.0, -10.0, 16.0, 16.0, 10.0],
+            "voxel_size": [1.0, 1.0, 11.0],
+            "max_voxels": 48,
+            "max_num_points": 5,
+            "max_points": 2048,
+            "compute_dtype": "float32",
+        }
+    )
+
+
+def _make_torch_model(ref_net, cfg, seed=0):
+    torch.manual_seed(seed)
+    config = {
+        "device": torch.device("cpu"),
+        "num_point_features": 4,
+        "voxel_size": list(cfg.voxel_size),
+        "detection_offset": list(cfg.detection_offset),
+        "batch_size": 1,
+        "grid_size": list(cfg.grid_size),
+    }
+    net = ref_net.PointPillars(config)
+    # randomize BN affine + running stats so eval-mode parity is non-trivial
+    bn = net.pillar_point_net.pfn_layers[1]
+    with torch.no_grad():
+        bn.weight.copy_(torch.rand(64) * 0.5 + 0.75)
+        bn.bias.copy_(torch.randn(64) * 0.1)
+        bn.running_mean.copy_(torch.randn(64) * 0.1)
+        bn.running_var.copy_(torch.rand(64) * 0.5 + 0.75)
+    return net
+
+
+def _conv_k(w: torch.Tensor) -> np.ndarray:
+    """torch Conv2d OIHW → flax HWIO."""
+    return w.detach().numpy().transpose(2, 3, 1, 0)
+
+
+def _transplant(net) -> dict:
+    """Copy the torch reference parameters into the Flax variables tree.
+
+    The Flax modules were designed parameter-compatible (see DeconvUpsample /
+    RPN docstrings); this function is the executable statement of that
+    mapping."""
+    sd = {k: v.detach() for k, v in net.state_dict().items()}
+
+    def dense_k(w):  # torch Conv1d/Conv2d 1x1 (O, I, 1[, 1]) → (I, O)
+        w = w.detach().numpy()
+        return w.reshape(w.shape[0], w.shape[1]).T
+
+    def deconv_k(w):  # ConvTranspose2d (I, O, S, S) → DeconvUpsample (S, S, I, O)
+        # out[s*i+p, s*j+q, o] = Σc in[i,j,c]·W[c,o,p,q]; DeconvUpsample
+        # computes kernel[s-1-p, s-1-q, c, o] at that tap → flip both spatials
+        return np.flip(w.detach().numpy().transpose(2, 3, 0, 1), (0, 1)).copy()
+
+    rpn = {}
+    # block Sequential layout: [conv, IN, relu, Resnet2(1)…, Resnet2(0)]
+    # Resnet2(1).conv_block = [IN, relu, conv, IN, relu, conv] → convs at 2, 5
+    # Resnet2(0).conv_block = [IN, relu, conv] → conv at 2
+    block_units = {1: [(3, 2)], 2: [(3, 2), (4, 2)], 3: [(3, 2), (4, 2)]}
+    for b in (1, 2, 3):
+        rpn[f"block{b - 1}_down"] = {"kernel": _conv_k(sd[f"rpn.block{b}.0.weight"])}
+        units = block_units[b] + [(max(u for u, _ in block_units[b]) + 1, 1)]
+        for u, (seq_idx, n_convs) in enumerate(units):
+            convs = {}
+            for i in range(n_convs):
+                w = sd[f"rpn.block{b}.{seq_idx}.conv_block.{2 + 3 * i}.weight"]
+                convs[f"conv{i}"] = {"kernel": _conv_k(w)}
+            rpn[f"block{b - 1}_res{u}"] = convs
+    # deconv1 is ConvTranspose k=1 s=1 ≡ 1x1 conv with W[i,o] = Wt[i,o,0,0]
+    w = sd["rpn.deconv1.0.weight"].detach().numpy()
+    rpn["deconv0"] = {"kernel": w.transpose(2, 3, 0, 1)}
+    rpn["deconv1"] = {"kernel": deconv_k(sd["rpn.deconv2.0.weight"])}
+    rpn["deconv2"] = {"kernel": deconv_k(sd["rpn.deconv3.0.weight"])}
+
+    params = {
+        "pfn": {
+            "pfn_dense": {"kernel": dense_k(sd["pillar_point_net.pfn_layers.0.weight"])},
+            "pfn_bn": {
+                "scale": sd["pillar_point_net.pfn_layers.1.weight"].numpy(),
+                "bias": sd["pillar_point_net.pfn_layers.1.bias"].numpy(),
+            },
+        },
+        "rpn": rpn,
+        "head": {
+            "conv_cls": {
+                "kernel": dense_k(sd["heads.conv_cls.weight"]),
+                "bias": sd["heads.conv_cls.bias"].numpy(),
+            },
+            "conv_box": {
+                "kernel": dense_k(sd["heads.conv_box.weight"]),
+                "bias": sd["heads.conv_box.bias"].numpy(),
+            },
+            "conv_dir": {
+                "kernel": dense_k(sd["heads.conv_dir.weight"]),
+                "bias": sd["heads.conv_dir.bias"].numpy(),
+            },
+        },
+    }
+    batch_stats = {
+        "pfn": {
+            "pfn_bn": {
+                "mean": sd["pillar_point_net.pfn_layers.1.running_mean"].numpy(),
+                "var": sd["pillar_point_net.pfn_layers.1.running_var"].numpy(),
+            }
+        }
+    }
+    # copy=True: on the CPU backend jnp.asarray can alias the torch tensor's
+    # memory, and torch's in-place running-stat updates during a later
+    # net(example) would silently mutate the "transplanted" jax arrays
+    to_jax = lambda a: jnp.array(np.array(a, copy=True))  # noqa: E731
+    return {
+        "params": jax.tree.map(to_jax, params),
+        "batch_stats": jax.tree.map(to_jax, batch_stats),
+    }
+
+
+def _make_inputs(cfg, n_valid=40, full=False, seed=1):
+    """Random pillars on unique cells. Returns (torch example, flax args)."""
+    rng = np.random.RandomState(seed)
+    nx, ny = cfg.grid_size[0], cfg.grid_size[1]
+    p = cfg.max_num_points
+    cells = rng.choice(nx * ny, size=n_valid, replace=False)
+    coords = np.stack([cells // ny, cells % ny], axis=1).astype(np.int32)
+    counts = (
+        np.full(n_valid, p, np.int32)
+        if full
+        else rng.randint(1, p + 1, n_valid).astype(np.int32)
+    )
+    voxels = np.zeros((n_valid, p, 4), np.float32)
+    for i in range(n_valid):
+        c = counts[i]
+        base = (coords[i] + 0.5) * np.array(cfg.voxel_size[:2]) + np.array(
+            cfg.detection_offset[:2]
+        )
+        voxels[i, :c, :2] = base + rng.uniform(-0.5, 0.5, (c, 2))
+        voxels[i, :c, 2] = rng.uniform(-1.0, 2.0, c)
+        voxels[i, :c, 3] = rng.uniform(0.0, 1.0, c)
+
+    example_t = {
+        "voxels": torch.from_numpy(voxels),
+        "num_points_per_voxel": torch.from_numpy(counts),
+        "coordinates": torch.from_numpy(coords),
+    }
+
+    v = cfg.max_voxels if not full else n_valid
+    fx_voxels = np.zeros((1, v, p, 4), np.float32)
+    fx_voxels[0, :n_valid] = voxels
+    fx_counts = np.zeros((1, v), np.int32)
+    fx_counts[0, :n_valid] = counts
+    fx_coords = np.full((1, v, 3), -1, np.int32)
+    fx_coords[0, :n_valid, :2] = coords
+    fx_coords[0, :n_valid, 2] = 0
+    return example_t, (
+        jnp.asarray(fx_voxels),
+        jnp.asarray(fx_counts),
+        jnp.asarray(fx_coords),
+    )
+
+
+def _loc_major_view(ref_flat: np.ndarray, a: int, hw: int, k: int) -> np.ndarray:
+    """Reference anchor-major (a·HW + loc) → this repo's location-major
+    (loc·A + a) flat ordering (see SharedHead docstring)."""
+    return ref_flat.reshape(-1, a, hw, k).transpose(0, 2, 1, 3).reshape(-1, a * hw, k)
+
+
+class TestModelParity:
+    @pytest.mark.parametrize("train_mode", [False, True])
+    def test_weights_transplant_forward(self, ref, train_mode):
+        ref_net, _ = ref
+        cfg = _small_parity_cfg()
+        net = _make_torch_model(ref_net, cfg)
+        variables = _transplant(net)
+        # train mode: fill every pillar to capacity and size the buffer to
+        # the valid count so masked vs unmasked BN statistics coincide
+        example_t, fx_args = _make_inputs(cfg, n_valid=40, full=train_mode)
+
+        if train_mode:
+            net.train()
+        else:
+            net.eval()
+        with torch.no_grad():
+            ref_out = net(example_t)
+
+        model = PointPillars(cfg)
+        if train_mode:
+            out, _ = model.apply(
+                variables, *fx_args, train=True, mutable=["batch_stats"]
+            )
+        else:
+            out = model.apply(variables, *fx_args, train=False)
+
+        a = cfg.num_anchors_per_loc
+        h, w = cfg.feature_map_size[0], cfg.feature_map_size[1]
+        for key, k in (("cls_preds", 1), ("box_preds", 7), ("dir_preds", 2)):
+            ref_v = _loc_major_view(ref_out[key].numpy(), a, h * w, k)
+            got = np.asarray(out[key], np.float32)
+            np.testing.assert_allclose(got, ref_v, atol=2e-4, rtol=1e-4)
+
+    def test_batch_stats_update_matches_torch(self, ref):
+        """Running-stat momentum convention matches BatchNorm1d (full pillars,
+        so the masked statistics equal torch's)."""
+        ref_net, _ = ref
+        cfg = _small_parity_cfg()
+        net = _make_torch_model(ref_net, cfg)
+        variables = _transplant(net)
+        example_t, fx_args = _make_inputs(cfg, n_valid=40, full=True)
+
+        net.train()
+        with torch.no_grad():
+            net(example_t)
+        bn = net.pillar_point_net.pfn_layers[1]
+
+        model = PointPillars(cfg)
+        _, updates = model.apply(
+            variables, *fx_args, train=True, mutable=["batch_stats"]
+        )
+        got = updates["batch_stats"]["pfn"]["pfn_bn"]
+        np.testing.assert_allclose(
+            np.asarray(got["mean"]), bn.running_mean.numpy(), atol=1e-4
+        )
+        # torch's running_var update uses the UNBIASED batch variance; this
+        # repo keeps the biased convention (documented divergence). Extract
+        # both batch variances from the running-stat update and compare after
+        # the (n-1)/n correction.
+        n = 40 * cfg.max_num_points
+        old_var = np.asarray(variables["batch_stats"]["pfn"]["pfn_bn"]["var"])
+        mine_batch_var = (np.asarray(got["var"]) - 0.9 * old_var) / 0.1
+        torch_batch_var = (bn.running_var.numpy() - 0.9 * old_var) / 0.1
+        np.testing.assert_allclose(
+            mine_batch_var, torch_batch_var * (n - 1) / n, rtol=2e-3
+        )
+
+
+class TestLossParity:
+    def test_loss_components_match_reference(self, ref):
+        _, ref_loss = ref
+        from det3d_tpu.losses import detection_loss
+
+        rng = np.random.RandomState(7)
+        b, a = 2, 900
+        labels = rng.choice([-1, 0, 1], size=(b, a), p=[0.2, 0.75, 0.05]).astype(
+            np.int32
+        )
+        bbox_targets = rng.randn(b, a, 7).astype(np.float32)
+        dir_targets = rng.randint(0, 2, (b, a)).astype(np.int32)
+        cls_preds = rng.randn(b, a, 1).astype(np.float32) * 2
+        box_preds = rng.randn(b, a, 7).astype(np.float32)
+        dir_preds = rng.randn(b, a, 2).astype(np.float32)
+
+        gen = ref_loss.LossGenerator(
+            {"box_code_size": 7, "device": torch.device("cpu")}
+        )
+        ref_out = gen.generate(
+            {
+                "cls_preds": torch.from_numpy(cls_preds),
+                "box_preds": torch.from_numpy(box_preds),
+                "dir_preds": torch.from_numpy(dir_preds),
+            },
+            {
+                "labels": labels,
+                "bbox_targets": bbox_targets,
+                "dir_targets": dir_targets,
+            },
+        )
+
+        got = detection_loss(
+            {
+                "cls_preds": jnp.asarray(cls_preds),
+                "box_preds": jnp.asarray(box_preds),
+                "dir_preds": jnp.asarray(dir_preds),
+            },
+            jnp.asarray(labels),
+            jnp.asarray(bbox_targets.transpose(0, 2, 1)),  # channel-major
+            jnp.asarray(dir_targets),
+        )
+        for key in ("loss", "cls_loss", "loc_loss", "dir_loss",
+                    "cls_pos_loss", "cls_neg_loss"):
+            assert np.isclose(
+                float(got[key]), float(ref_out[key]), rtol=1e-5, atol=1e-6
+            ), f"{key}: {float(got[key])} vs {float(ref_out[key])}"
