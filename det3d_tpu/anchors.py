@@ -6,9 +6,9 @@ Counterpart of the reference's `AnchorAssigner.__init__`/`generate`
 x-major/y-minor order, concatenated class-by-class into one flat anchor set
 of 1.44 M anchors with per-class index ranges (`class_masks`).
 
-The anchor ordering contract — [class][size][rot][x][y] — must match the
-SharedHead output reshape (see models/pointpillars.py) and is covered by
-tests/test_anchors.py.
+The per-location channel ordering contract — [class][size][rot] — must match
+the SharedHead output reshape (see models/pointpillars.py); golden tests at
+the production 400x400 geometry live in tests/test_anchors.py.
 """
 
 from __future__ import annotations

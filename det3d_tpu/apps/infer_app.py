@@ -65,6 +65,7 @@ def infer(
         batched = jax.jit(
             jax.vmap(lambda p, m: det.infer(variables, p, m))
         )
+        timed_frames = 0  # frames dispatched after the compile chunk
         for start in range(0, len(samples), batch):
             chunk = samples[start : start + batch]
             padded = [det.pad_points(s["points"]) for s in chunk]
@@ -77,15 +78,18 @@ def infer(
             jax.block_until_ready(out)
             dt = time.perf_counter() - t0
             if start > 0:
+                # the padded duplicates in the final chunk cost device time
+                # like real frames, so count dispatched (= batch) frames in
+                # both numerator and denominator for an exact average
                 total += dt
+                timed_frames += batch
                 timers.add("e2e", dt / batch)
             host = jax.device_get(out)
             for bi in range(len(chunk)):
                 dt_annos.append(
                     to_annos(cfg, jax.tree.map(lambda x: x[bi], host))
                 )
-        total = total / max(batch, 1) * batch  # keep avg_ms per-frame below
-        denom = max(len(samples) - batch, 1)
+        denom = max(timed_frames, 1)
     else:
         for i, s in enumerate(samples):
             pts, n = det.pad_points(s["points"])

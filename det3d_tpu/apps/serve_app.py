@@ -101,6 +101,8 @@ def serve_synthetic(
         state = CheckpointManager(checkpoint).restore_latest(
             trainer.init_state(jax.random.PRNGKey(0))
         )
+        if state is None:
+            raise FileNotFoundError(f"no latest checkpoint under {checkpoint}")
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         server = PointCloudServer(cfg, variables, detector=trainer.detector)
     else:

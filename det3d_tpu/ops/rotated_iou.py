@@ -181,6 +181,13 @@ def d3_iou_lidar(boxes: jax.Array, qboxes: jax.Array) -> jax.Array:
 
 # host-facing jitted wrappers (used by eval/ap.py)
 _rotated_iou_jit = jax.jit(rotated_iou, static_argnums=2)
+# frame-batched variants: one dispatch covers (F, Dmax, 5) x (F, Gmax, 5)
+# padded stacks — the TPU-style version of the reference's 50-part frame
+# batching for its CUDA kernel (eval/eval.py:238-287)
+_rotated_iou_frames_jit = jax.jit(
+    jax.vmap(rotated_iou, in_axes=(0, 0, None)), static_argnums=2
+)
+_d3_iou_frames_jit = jax.jit(jax.vmap(d3_iou_lidar))
 
 
 def rotate_iou_eval_np(boxes: np.ndarray, qboxes: np.ndarray, criterion: int = -1) -> np.ndarray:
@@ -190,5 +197,21 @@ def rotate_iou_eval_np(boxes: np.ndarray, qboxes: np.ndarray, criterion: int = -
         return np.zeros((boxes.shape[0], qboxes.shape[0]), np.float32)
     out = _rotated_iou_jit(
         jnp.asarray(boxes, jnp.float32), jnp.asarray(qboxes, jnp.float32), criterion
+    )
+    return np.asarray(out)
+
+
+def rotate_iou_frames_np(boxes: np.ndarray, qboxes: np.ndarray, criterion: int = -1) -> np.ndarray:
+    """(F, Dmax, 5) x (F, Gmax, 5) padded frame stacks → (F, Dmax, Gmax)."""
+    out = _rotated_iou_frames_jit(
+        jnp.asarray(boxes, jnp.float32), jnp.asarray(qboxes, jnp.float32), criterion
+    )
+    return np.asarray(out)
+
+
+def d3_iou_frames_np(boxes: np.ndarray, qboxes: np.ndarray) -> np.ndarray:
+    """(F, Dmax, 7) x (F, Gmax, 7) padded frame stacks → (F, Dmax, Gmax)."""
+    out = _d3_iou_frames_jit(
+        jnp.asarray(boxes, jnp.float32), jnp.asarray(qboxes, jnp.float32)
     )
     return np.asarray(out)

@@ -8,6 +8,9 @@ state, and step counter. Implemented with orbax.
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
 from pathlib import Path
 
 import orbax.checkpoint as ocp
@@ -20,23 +23,39 @@ class CheckpointManager:
         self.model_dir = Path(model_dir).absolute()
         self.model_dir.mkdir(parents=True, exist_ok=True)
         self._ckpt = ocp.StandardCheckpointer()
+        # sweep temp dirs a crashed previous run may have left behind
+        for stale in self.model_dir.glob(".tmp.*"):
+            shutil.rmtree(stale, ignore_errors=True)
 
     def _path(self, name: str) -> Path:
         return self.model_dir / name
 
     def save(self, state: TrainState) -> None:
         """Write both `latest` and `<step>` checkpoints (reference
-        train.py:117-127 writes latest.pth + {step}.pth)."""
+        train.py:117-127 writes latest.pth + {step}.pth).
+
+        Atomic: each checkpoint is written to a temp dir, then renamed over
+        the target. A crash mid-save never destroys the previous `latest`
+        (the old rmtree-then-save left a window with no resume point)."""
         step = int(state.step)
         for name in ("latest", str(step)):
             path = self._path(name)
-            if path.exists():
-                # orbax refuses to overwrite; replace atomically-ish
-                import shutil
-
-                shutil.rmtree(path)
-            self._ckpt.save(path, state)
-        self._ckpt.wait_until_finished()
+            tmp = self._path(f".tmp.{name}.{uuid.uuid4().hex[:8]}")
+            try:
+                self._ckpt.save(tmp, state)
+                self._ckpt.wait_until_finished()
+                if path.exists():
+                    # swap: move old aside, new in, drop old — the window
+                    # with no `latest` is two renames, not a full write
+                    old = self._path(f".tmp.old.{uuid.uuid4().hex[:8]}")
+                    os.rename(path, old)
+                    os.rename(tmp, path)
+                    shutil.rmtree(old, ignore_errors=True)
+                else:
+                    os.rename(tmp, path)
+            finally:
+                if tmp.exists():
+                    shutil.rmtree(tmp, ignore_errors=True)
 
     def restore_latest(self, template: TrainState) -> TrainState | None:
         """Resume from `latest` if present (reference train.py:69-76)."""

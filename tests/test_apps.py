@@ -81,6 +81,42 @@ class TestCheckpoint:
         for a, b in zip(orig, back):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_crash_during_save_preserves_previous_latest(self, tmp_path, monkeypatch):
+        """A failure mid-save must never destroy the existing `latest`
+        resume point (the old rmtree-then-save sequence did)."""
+        import jax
+
+        from det3d_tpu.train import checkpoint as ckpt_mod
+        from det3d_tpu.train.checkpoint import CheckpointManager
+        from det3d_tpu.train.trainer import Trainer
+
+        cfg = small_cfg()
+        trainer = Trainer(cfg)
+        state = jax.device_get(trainer.init_state(jax.random.PRNGKey(0)))
+
+        mgr = CheckpointManager(tmp_path)
+        mgr.save(state._replace(step=state.step + 5))
+        assert mgr.has_latest()
+
+        # simulate a crash inside the checkpoint write of the next save
+        orig_save = ckpt_mod.ocp.StandardCheckpointer.save
+
+        def boom(self, path, *a, **k):
+            if ".tmp." in str(path):
+                raise RuntimeError("simulated crash mid-save")
+            return orig_save(self, path, *a, **k)
+
+        monkeypatch.setattr(ckpt_mod.ocp.StandardCheckpointer, "save", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            mgr.save(state._replace(step=state.step + 10))
+        monkeypatch.undo()
+
+        restored = mgr.restore_latest(trainer.init_state(jax.random.PRNGKey(1)))
+        assert int(restored.step) == 5  # previous latest survived
+        # a fresh manager sweeps any leftover temp dirs
+        CheckpointManager(tmp_path)
+        assert not list(tmp_path.glob(".tmp.*"))
+
     def test_lr_override(self):
         import jax
 
