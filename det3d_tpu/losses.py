@@ -8,7 +8,7 @@ Exact functional port of the reference's loss generator semantics
 direction softmax with per-anchor positive weights (:56-63).
 
 All math is plain `jnp` on logits coming out of the model; per-batch-element
-structure matches the reference's (B, A, ·) layout.
+structure matches the reference's; layouts are channel-major (B, k, A).
 """
 
 from __future__ import annotations
@@ -99,7 +99,9 @@ def detection_loss(
     TPU layout note: all million-anchor elementwise math runs on shapes with
     the anchor axis MINOR ((B, A) / (B, 7, A)) — the natural (B, A, k≤7)
     shapes put only k elements in the 128-lane dimension and were ~10x
-    slower. Same math, reassociated reductions only.
+    slower. The model emits preds channel-major ((B, k, A)) for the same
+    reason, so no transpose happens here. Same math, reassociated
+    reductions only.
     """
     batch = labels.shape[0]
     cls_weights, reg_weights, cared = prepare_loss_weights(labels)
@@ -124,7 +126,7 @@ def detection_loss(
     cls_neg_loss = jnp.sum(neg * cls_loss) / batch
 
     # -- localization: (B, 7, A) channel-major for full-lane elementwise ---
-    box_p = preds["box_preds"].astype(jnp.float32).transpose(0, 2, 1)
+    box_p = preds["box_preds"].astype(jnp.float32)  # already channel-major
     reg_t = reg_targets.astype(jnp.float32)  # already channel-major
     # sin-difference angle encoding on the yaw channel
     yaw_p = box_p[:, 6:7] ; yaw_t = reg_t[:, 6:7]
@@ -140,9 +142,9 @@ def detection_loss(
     )
 
     # -- direction: explicit 2-logit softmax CE on (B, A) slices -----------
-    dir_logits = preds["dir_preds"].astype(jnp.float32)
-    l0 = dir_logits[..., 0]
-    l1_ = dir_logits[..., 1]
+    dir_logits = preds["dir_preds"].astype(jnp.float32)  # (B, 2, A)
+    l0 = dir_logits[:, 0, :]
+    l1_ = dir_logits[:, 1, :]
     m = jnp.maximum(l0, l1_)
     lse = m + jnp.log(jnp.exp(l0 - m) + jnp.exp(l1_ - m))
     picked = jnp.where(dir_targets > 0, l1_, l0)

@@ -194,9 +194,28 @@ def _instance_norm(x: jax.Array, name: str) -> jax.Array:
     Statistics accumulate in f32 (reduction dtype) without materializing an
     f32 copy of the activation map; the normalize pass runs in the input
     dtype. Single-pass variance (E[x²]−E[x]²) is safe at these activation
-    magnitudes with the reference's large eps=1e-3."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
-    m2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2), keepdims=True)
+    magnitudes with the reference's large eps=1e-3.
+
+    TPU note: the per-channel sums run as ones-vector matmuls on the MXU
+    (f32 accumulate). XLA's native column reduce of a (HW, C) bf16 map
+    measured ~10x slower than memory bandwidth (1.25 ms for the 400²x64
+    entry-IN stats); the two matmuls stream the map at full bandwidth and
+    the x·x operand fuses into the second one."""
+    b, h, w, c = x.shape
+    x2d = x.reshape(b, h * w, c)
+    xf = x2d.astype(jnp.float32)
+    ones = jnp.ones((b, 1, h * w), x.dtype)
+    n = jnp.array(h * w, jnp.float32)
+    s1 = jax.lax.dot_general(
+        ones, x2d, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (b, 1, c)
+    s2 = jax.lax.dot_general(
+        ones.astype(jnp.float32), xf * xf, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    mean = (s1 / n)[:, None]                      # (b, 1, 1, c)
+    m2 = (s2 / n)[:, None]
     var = jnp.maximum(m2 - jnp.square(mean), 0.0)
     inv = jax.lax.rsqrt(var + 1e-3).astype(x.dtype)
     return (x - mean.astype(x.dtype)) * inv
@@ -391,15 +410,20 @@ class SharedHead(nn.Module):
         box = nn.Dense(a * code, dtype=self.compute_dtype, name="conv_box")(x)
         dire = nn.Dense(a * 2, dtype=self.compute_dtype, name="conv_dir")(x)
 
-        # (N, H, W, A*k) → (N, H*W*A, k): location-major flat layout — a pure
-        # reshape, matching anchors.build_anchors. (The reference transposes
-        # to anchor-major [A][H][W] here, pointpillars8_shared.py:318-341;
-        # on TPU that transpose is ~3 ms/frame of pure data movement, so the
-        # anchor table is location-major instead.) Outputs stay in the
-        # compute dtype (bf16): losses and postprocess cast to f32 at their
-        # (much smaller) consumption points.
+        # (N, H, W, A*k) → (N, k, H*W*A): channel-major flat layout over the
+        # location-major anchor order of anchors.build_anchors. (The
+        # reference transposes to anchor-major [A][H][W] with k minor,
+        # pointpillars8_shared.py:318-341.) Channel-major is what every
+        # consumer wants — the losses' million-lane elementwise math and the
+        # postprocessor's per-channel gathers — so the k-minor (N, HW·A, k)
+        # intermediate (two materialized relayouts of the 1.44M-row box/dir
+        # tensors, ~2.2 ms/frame) never exists: the transpose happens at the
+        # (H, W, A, k) conv-epilogue level where XLA fuses it. Outputs stay
+        # in the compute dtype (bf16); consumers cast to f32 at their (much
+        # smaller) consumption points.
         def to_flat(t: jax.Array, k: int) -> jax.Array:
-            return t.reshape(n, h * w * a, k)
+            t = t.reshape(n, h * w, a, k)
+            return t.transpose(0, 3, 1, 2).reshape(n, k, h * w * a)
 
         return {
             "cls_preds": to_flat(cls, 1),
@@ -437,9 +461,11 @@ class MultiHead(nn.Module):
             box_l.append(box.reshape(n, h * w, a, code))
             dir_l.append(dire.reshape(n, h * w, a, 2))
 
-        # concat per-class channels at each location → location-major flat
+        # concat per-class channels at each location → channel-major flat
+        # (same (N, k, HW·A) contract as SharedHead)
         def flat(parts, k):
-            return jnp.concatenate(parts, axis=2).reshape(n, -1, k)
+            t = jnp.concatenate(parts, axis=2)          # (n, HW, A, k)
+            return t.transpose(0, 3, 1, 2).reshape(n, k, -1)
 
         return {
             "cls_preds": flat(cls_l, 1),

@@ -96,8 +96,8 @@ except Exception:  # pragma: no cover - older jax without namedtuple serializati
 def _postprocess_one_class(
     masked_scores: jax.Array,  # (Ac,) f32, gated scores (-1 where excluded)
     global_idx_fn,             # class-flat idx -> row into the global tensors
-    box_all: jax.Array,        # (A_total, 7) global, location-major
-    dir_all: jax.Array,        # (A_total, 2) global
+    box_all_t: jax.Array,      # (7, A_total) global, channel-major
+    dir_all_t: jax.Array,      # (2, A_total) global
     anchors: jax.Array,        # (Ac, 7) per-class contiguous constant
     center_limit: jax.Array,   # (6,)
     params: PostProcessParams,
@@ -109,16 +109,16 @@ def _postprocess_one_class(
     top_scores, idx = _topk(masked_scores, k, params)
     valid = top_scores >= 0.0
 
-    # gather the k candidates straight from the GLOBAL tensors (slicing the
-    # per-class channels out of the 1.44M-anchor tensors costs ~1ms/frame of
-    # pure copies; a 1000-row gather is free by comparison)
+    # gather the k candidates straight from the GLOBAL channel-major tensors
+    # (slicing the per-class channels out of the 1.44M-anchor tensors costs
+    # ~1ms/frame of pure copies; a 1000-column gather is free by comparison)
     gidx = global_idx_fn(idx)
-    box_k = box_all[gidx].astype(jnp.float32)
-    dir_k = dir_all[gidx]
+    box_k = box_all_t[:, gidx].astype(jnp.float32).T                   # (k, 7)
+    dir_k = dir_all_t[:, gidx]                                         # (2, k)
     anchors_k = anchors[idx]
 
     boxes = geometry.box_decode(box_k, anchors_k)                      # (k, 7)
-    dir_labels = jnp.argmax(dir_k, axis=-1).astype(bool)
+    dir_labels = (dir_k[1] > dir_k[0])
 
     corners = geometry.center_to_corner_box2d(
         boxes[:, :2], boxes[:, 3:5], boxes[:, 6]
@@ -166,11 +166,12 @@ def make_postprocessor(cfg: Config, anchor_set: AnchorSet, params: PostProcessPa
     ]
 
     def postprocess(preds: dict[str, jax.Array], anchors_mask: jax.Array) -> Detections:
-        # location-major layout: score the full tensor ONCE, then per class
-        # only the (cheap) f32 score channels are sliced; box/dir stay global
-        # and are gathered post-top-k by global index
+        # preds are single-frame channel-major (k, A), location-major anchor
+        # order: score the full tensor ONCE, then per class only the (cheap)
+        # f32 score channels are sliced; box/dir stay global and are
+        # gathered post-top-k by global index
         scores_all = jax.nn.sigmoid(
-            jnp.max(preds["cls_preds"].astype(jnp.float32), axis=-1)
+            preds["cls_preds"].astype(jnp.float32)
         ).reshape(-1, nch)
         gated_all = jnp.where(
             anchors_mask.reshape(-1, nch)
@@ -178,8 +179,8 @@ def make_postprocessor(cfg: Config, anchor_set: AnchorSet, params: PostProcessPa
             scores_all,
             -1.0,
         )
-        box_all = preds["box_preds"].reshape(-1, cfg.box_code_size)
-        dir_all = preds["dir_preds"].reshape(-1, 2)
+        box_all_t = preds["box_preds"].reshape(cfg.box_code_size, -1)
+        dir_all_t = preds["dir_preds"].reshape(2, -1)
 
         boxes_l, scores_l, valid_l = [], [], []
         for (c0, c1), anchors in zip(channels, class_anchors):
@@ -191,7 +192,7 @@ def make_postprocessor(cfg: Config, anchor_set: AnchorSet, params: PostProcessPa
 
             bx, sc, va = _postprocess_one_class(
                 gated_all[:, c0:c1].reshape(-1),
-                gidx_fn, box_all, dir_all,
+                gidx_fn, box_all_t, dir_all_t,
                 anchors, center_limit, params,
             )
             boxes_l.append(bx)

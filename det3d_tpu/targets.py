@@ -100,14 +100,21 @@ def _assign_one_class(
     return labels, bbox_targets_t, weights, dir_targets
 
 
-def make_target_assigner(cfg: Config, anchor_set: AnchorSet):
+def make_target_assigner(cfg: Config, anchor_set: AnchorSet, use_pallas: bool | None = None):
     """Build a jit-able `fn(gt_boxes, gt_classes, gt_valid, anchors_mask)`.
 
     gt arrays are padded to `cfg.max_gt_boxes`; `gt_classes` uses 1-based ids
     in `cfg.class_specs` order (reference: framework/dataset.py:114).
     Padded gt rows must have nonzero dims (host pads with dims=1) so the
     masked `box_encode` log terms stay finite.
+
+    `use_pallas`: route the per-class assignment through the fused
+    matrix-free Pallas matcher (kernels/matcher_pallas.py) instead of the
+    dense-IoU XLA path; default on TPU. Results are elementwise identical
+    (tests/test_targets.py::TestPallasMatcher).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     nch = anchor_set.num_channels
     channels = [anchor_set.class_channels[s.name] for s in cfg.class_specs]
     class_anchors = [
@@ -130,10 +137,18 @@ def make_target_assigner(cfg: Config, anchor_set: AnchorSet):
             zip(channels, class_anchors, class_anchors_bv, thresholds)
         ):
             cls_valid = gt_valid & (gt_classes == ci + 1)
-            lab, tgt, w, d = _assign_one_class(
-                anchors, anchors_bv, mask_ch[:, c0:c1].reshape(-1),
-                gt_boxes, cls_valid, mth, uth
-            )
+            if use_pallas:
+                from det3d_tpu.kernels.matcher_pallas import assign_class_pallas
+
+                lab, tgt, w, d = assign_class_pallas(
+                    anchors, anchors_bv, mask_ch[:, c0:c1].reshape(-1),
+                    gt_boxes, cls_valid, mth, uth
+                )
+            else:
+                lab, tgt, w, d = _assign_one_class(
+                    anchors, anchors_bv, mask_ch[:, c0:c1].reshape(-1),
+                    gt_boxes, cls_valid, mth, uth
+                )
             # per-class results are (locations*(c1-c0), ...) — reinterleave
             # into the location-major channel axis (bbox targets stay
             # channel-major (7, ...) throughout)

@@ -19,9 +19,9 @@ THRESHOLDS = (0.1, 0.3, 0.5, 0.7)
 def binary_counts(labels: jax.Array, cls_logits: jax.Array) -> dict[str, jax.Array]:
     """Per-threshold TP/FP/FN counts over anchors with label != -1.
 
-    labels: (B, A) int32; cls_logits: (B, A, 1).
-    Matches reference framework/metrics.py:54-67."""
-    scores = jnp.max(jax.nn.sigmoid(cls_logits.astype(jnp.float32)), axis=-1)  # (B, A)
+    labels: (B, A) int32; cls_logits: (B, 1, A) channel-major (or any shape
+    reshapeable to labels). Matches reference framework/metrics.py:54-67."""
+    scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32)).reshape(labels.shape)
     weights = (labels != -1).astype(jnp.float32)
     trues = labels > 0
     falses = labels == 0

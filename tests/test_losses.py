@@ -65,9 +65,9 @@ class TestTotalLoss:
         r = np.random.RandomState(0)
         b, a = 2, 32
         preds = {
-            "cls_preds": jnp.asarray(r.randn(b, a, 1).astype(np.float32)),
-            "box_preds": jnp.asarray(r.randn(b, a, 7).astype(np.float32)),
-            "dir_preds": jnp.asarray(r.randn(b, a, 2).astype(np.float32)),
+            "cls_preds": jnp.asarray(r.randn(b, 1, a).astype(np.float32)),
+            "box_preds": jnp.asarray(r.randn(b, 7, a).astype(np.float32)),
+            "dir_preds": jnp.asarray(r.randn(b, 2, a).astype(np.float32)),
         }
         labels = jnp.asarray(r.randint(-1, 2, (b, a)).astype(np.int32))
         reg = jnp.asarray(r.randn(b, 7, a).astype(np.float32))  # channel-major contract

@@ -83,7 +83,7 @@ class TestHeadOrdering:
         x = x.at[0, xi, yi, :].set(1.0)
         out = head.apply(variables, x)
         base = head.apply(variables, jnp.zeros_like(x))
-        diff = np.abs(np.asarray(out["cls_preds"] - base["cls_preds"]))[0, :, 0]
+        diff = np.abs(np.asarray(out["cls_preds"] - base["cls_preds"]))[0, 0, :]
         hit = np.nonzero(diff > 1e-9)[0]
         expected = np.array([(xi * w + yi) * a + ai for ai in range(a)])
         np.testing.assert_array_equal(np.sort(hit), expected)

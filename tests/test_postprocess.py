@@ -76,7 +76,7 @@ class TestPostprocessParity:
         }
         mask = rng.rand(na) > 0.3
 
-        det = post({k: v for k, v in preds.items()}, mask)
+        det = post({k: v.T for k, v in preds.items()}, mask)  # model contract: (k, A)
         ref = postprocess_ref(cfg, aset, preds, mask, params)
 
         boxes = np.asarray(det.boxes)
@@ -102,7 +102,7 @@ class TestPostprocessParity:
             "box_preds": rng.randn(na, 7).astype(np.float32) * 0.1,
             "dir_preds": rng.randn(na, 2).astype(np.float32),
         }
-        det = post(preds, np.zeros(na, bool))
+        det = post({k: v.T for k, v in preds.items()}, np.zeros(na, bool))
         assert not np.asarray(det.valid).any()
         annos = to_annos(cfg, det)
         assert len(annos["name"]) == 0

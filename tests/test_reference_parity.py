@@ -254,7 +254,8 @@ class TestModelParity:
         h, w = cfg.feature_map_size[0], cfg.feature_map_size[1]
         for key, k in (("cls_preds", 1), ("box_preds", 7), ("dir_preds", 2)):
             ref_v = _loc_major_view(ref_out[key].numpy(), a, h * w, k)
-            got = np.asarray(out[key], np.float32)
+            # model contract is channel-major (N, k, HW*A)
+            got = np.asarray(out[key], np.float32).transpose(0, 2, 1)
             np.testing.assert_allclose(got, ref_v, atol=2e-4, rtol=1e-4)
 
     def test_batch_stats_update_matches_torch(self, ref):
@@ -325,10 +326,10 @@ class TestLossParity:
         )
 
         got = detection_loss(
-            {
-                "cls_preds": jnp.asarray(cls_preds),
-                "box_preds": jnp.asarray(box_preds),
-                "dir_preds": jnp.asarray(dir_preds),
+            {   # model contract: channel-major (B, k, A)
+                "cls_preds": jnp.asarray(cls_preds.transpose(0, 2, 1)),
+                "box_preds": jnp.asarray(box_preds.transpose(0, 2, 1)),
+                "dir_preds": jnp.asarray(dir_preds.transpose(0, 2, 1)),
             },
             jnp.asarray(labels),
             jnp.asarray(bbox_targets.transpose(0, 2, 1)),  # channel-major

@@ -104,3 +104,77 @@ class TestTargets:
         labels = labels.reshape(-1)
         ref = assign_ref_all(cfg, aset, anchors_mask, gt, np.array([1], np.int32))
         np.testing.assert_array_equal(labels, ref[0])
+
+
+class TestPallasMatcher:
+    """The fused matrix-free Pallas matcher (kernels/matcher_pallas.py) must
+    match the dense-IoU XLA path elementwise (interpret mode on CPU)."""
+
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_matches_xla_path(self, seed):
+        import jax.numpy as jnp
+
+        from det3d_tpu.kernels.matcher_pallas import assign_class_pallas
+        from det3d_tpu.targets import _assign_one_class
+
+        cfg = small_cfg()
+        aset = build_anchors(cfg)
+        r = np.random.RandomState(seed)
+
+        gt_raw = np.zeros((6, 7), np.float32)
+        gt_raw[:, :2] = r.uniform(-6, 6, (6, 2))
+        gt_raw[:, 2] = r.uniform(-1, 1, 6)
+        gt_raw[:, 3:6] = r.uniform(0.8, 5.0, (6, 3))
+        gt_raw[:, 6] = r.uniform(-np.pi, np.pi, 6)
+        classes_raw = r.randint(1, 4, 6).astype(np.int32)
+        boxes, classes, valid = pad_gt(cfg, gt_raw, classes_raw)
+
+        anchors_mask = r.rand(aset.num_anchors) > 0.3
+        mask_ch = anchors_mask.reshape(-1, aset.num_channels)
+
+        for ci, spec in enumerate(cfg.class_specs):
+            c0, c1 = aset.class_channels[spec.name]
+            cls_valid = jnp.asarray(valid & (classes == ci + 1))
+            args = (
+                jnp.asarray(aset.anchors_by_class[spec.name]),
+                jnp.asarray(aset.anchors_bv_by_class[spec.name]),
+                jnp.asarray(mask_ch[:, c0:c1].reshape(-1)),
+                jnp.asarray(boxes),
+                cls_valid,
+                spec.matched_threshold,
+                spec.unmatched_threshold,
+            )
+            ref = _assign_one_class(*args)
+            got = assign_class_pallas(*args, interpret=True)
+            np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+            np.testing.assert_allclose(
+                np.asarray(got[1]), np.asarray(ref[1]), rtol=1e-6, atol=1e-6
+            )
+            np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(ref[2]))
+            np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
+
+    def test_no_valid_gt(self):
+        import jax.numpy as jnp
+
+        from det3d_tpu.kernels.matcher_pallas import assign_class_pallas
+        from det3d_tpu.targets import _assign_one_class
+
+        cfg = small_cfg()
+        aset = build_anchors(cfg)
+        spec = cfg.class_specs[0]
+        boxes, classes, valid = pad_gt(cfg, np.zeros((0, 7), np.float32), np.zeros(0, np.int32))
+        mask = np.ones(aset.anchors_by_class[spec.name].shape[0], bool)
+        args = (
+            jnp.asarray(aset.anchors_by_class[spec.name]),
+            jnp.asarray(aset.anchors_bv_by_class[spec.name]),
+            jnp.asarray(mask),
+            jnp.asarray(boxes),
+            jnp.asarray(valid),
+            spec.matched_threshold,
+            spec.unmatched_threshold,
+        )
+        ref = _assign_one_class(*args)
+        got = assign_class_pallas(*args, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+        assert np.all(np.asarray(got[0]) == 0)  # empty gt → all background
+        np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(ref[2]))

@@ -81,6 +81,24 @@ def main():
         print(f"{dur / args.frames / 1e3:8.3f} ms  {loc}")
     print(f"(trace: {path})")
 
+    # per-op detail: individual fusions with their output shape from the HLO
+    shape_of = {}
+    for m in re.finditer(r"%?([\w.\-]+) = (\S+?)[ (]", hlo):
+        shape_of.setdefault(m.group(1), m.group(2))
+    per_op = collections.Counter()
+    for e in events:
+        if (
+            e.get("ph") == "X"
+            and "TPU" in pids.get(e["pid"], "")
+            and not e["name"].startswith("jit_")
+        ):
+            per_op[e["name"]] += e.get("dur", 0)
+    print("\n-- top individual ops --")
+    for name, dur in per_op.most_common(args.top):
+        loc = src.get(name, "?")
+        shp = shape_of.get(name, "?")
+        print(f"{dur / args.frames / 1e3:8.3f} ms  {name[:46]:46s} {shp[:38]:38s} {loc}")
+
 
 if __name__ == "__main__":
     main()
