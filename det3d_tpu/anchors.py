@@ -39,14 +39,16 @@ def _rbbox2d_to_near_bbox_np(rbboxes: np.ndarray) -> np.ndarray:
 class AnchorSet:
     """The full flat anchor set plus per-class views.
 
-    Flat layout is **location-major**: flat = (x·fy + y)·A + channel, where
-    `channel` indexes the A per-location anchors, classes in config order
-    ([class][size][rot]). This deliberately diverges from the reference's
-    anchor-major [class][size][rot][x][y] ordering (reference:
-    framework/anchor_assigner.py:284-298): location-major is exactly what
-    the NHWC detection head emits, so the 1.44M-row anchor-major transposes
-    (~3 ms/frame of pure data movement) disappear. Per-class CONTIGUOUS
-    tables are precomputed for the gather-by-topk-index paths.
+    Flat layout is **anchor-major**: flat = channel·(fx·fy) + (x·fy + y),
+    where `channel` indexes the A per-location anchor configs, classes in
+    config order ([class][size][rot][x][y]) — the reference's exact ordering
+    (framework/anchor_assigner.py:284-298). Round 1 used a location-major
+    layout to suit a k-minor NHWC head reshape; since then every consumer
+    went channel-major ((k, A) preds, (7, A) targets, per-channel mask
+    vectors), and with the head emitted as one (90, HW) dot_general the
+    anchor-major order makes every layout hop a pure reshape: per-class
+    slices are contiguous ROW ranges, and the per-class "tables" are views,
+    not copies.
     """
 
     anchors: np.ndarray            # (A, 7) float32  [x,y,z,l,w,h,yaw]
@@ -92,11 +94,11 @@ def _generate_one(size, rotation, feature_map_size, strides, offsets) -> np.ndar
 
 
 def build_anchors(cfg: Config) -> AnchorSet:
-    """Build the flat anchor set for all classes, location-major."""
+    """Build the flat anchor set for all classes, anchor-major."""
     fx, fy, _ = cfg.class_specs[0].feature_map_size
     for spec in cfg.class_specs:
         assert tuple(spec.feature_map_size[:2]) == (fx, fy), (
-            "location-major layout requires a shared feature-map grid"
+            "the shared flat anchor layout requires one feature-map grid"
         )
 
     channel_grids = []   # per (class, size, rot): (fx*fy, 7) grid
@@ -117,20 +119,19 @@ def build_anchors(cfg: Config) -> AnchorSet:
         class_channels[spec.name] = (c0, len(channel_grids))
 
     a = len(channel_grids)
-    # (A_chan, fx*fy, 7) → (fx*fy, A_chan, 7) → flat location-major
-    stacked = np.stack(channel_grids, axis=0).transpose(1, 0, 2)
-    anchors = np.ascontiguousarray(stacked.reshape(-1, 7))
+    # anchor-major flat: channel blocks concatenated, each (fx·fy, 7)
+    anchors = np.ascontiguousarray(np.concatenate(channel_grids, axis=0))
     anchors_bv = _rbbox2d_to_near_bbox_np(anchors[:, [0, 1, 3, 4, 6]])
     corner_cells = anchor_corner_cells(
         anchors_bv, cfg.voxel_size, cfg.detection_offset, cfg.grid_size
     )
 
+    # per-class "tables" are contiguous row-range views in this layout
+    hw = fx * fy
     anchors_by_class, anchors_bv_by_class = {}, {}
-    a4 = anchors.reshape(fx * fy, a, 7)
-    bv4 = anchors_bv.reshape(fx * fy, a, 4)
     for name, (c0, c1) in class_channels.items():
-        anchors_by_class[name] = np.ascontiguousarray(a4[:, c0:c1].reshape(-1, 7))
-        anchors_bv_by_class[name] = np.ascontiguousarray(bv4[:, c0:c1].reshape(-1, 4))
+        anchors_by_class[name] = anchors[c0 * hw : c1 * hw]
+        anchors_bv_by_class[name] = anchors_bv[c0 * hw : c1 * hw]
 
     from det3d_tpu.ops.anchor_mask import separable_corner_index_vectors
 
@@ -140,11 +141,11 @@ def build_anchors(cfg: Config) -> AnchorSet:
         anchors_bv=anchors_bv,
         corner_cells=corner_cells,
         matched_threshold=np.repeat(
-            np.asarray(matched_ch, np.float32)[None, :], fx * fy, 0
-        ).reshape(-1),
+            np.asarray(matched_ch, np.float32), fx * fy
+        ),
         unmatched_threshold=np.repeat(
-            np.asarray(unmatched_ch, np.float32)[None, :], fx * fy, 0
-        ).reshape(-1),
+            np.asarray(unmatched_ch, np.float32), fx * fy
+        ),
         grid_hw=(fx, fy),
         num_channels=a,
         class_channels=class_channels,

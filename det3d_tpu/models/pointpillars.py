@@ -14,10 +14,10 @@ networks/pointpillars8_shared.py):
     full-pre-activation residual units with InstanceNorm, plus 3 transposed-
     conv upsample heads (widths 64/128/128) concatenated to 320 channels at
     the 400x400 scale (reference :114-181, :418-431).
-  * SharedHead — 1x1 convs → cls(9)/box(9*7)/dir(9*2), reshaped to the
-    location-major flat ordering (x*fy+y)*A+a that matches anchors.py
-    (the reference reshapes to anchor-major instead, :299-343 — see
-    SharedHead for why that transpose is skipped here).
+  * SharedHead — one fused transposed matmul → channel-major cls/box/dir
+    over the anchor-major flat ordering a*(fx*fy)+(x*fy+y) that matches
+    anchors.py and the reference (:299-343) — see SharedHead for the
+    zero-relayout formulation.
 
 Differences, by design (TPU-first, not a translation):
   * NHWC layout everywhere (TPU conv-native) instead of NCHW.
@@ -196,26 +196,25 @@ def _instance_norm(x: jax.Array, name: str) -> jax.Array:
     dtype. Single-pass variance (E[x²]−E[x]²) is safe at these activation
     magnitudes with the reference's large eps=1e-3.
 
-    TPU note: the per-channel sums run as ones-vector matmuls on the MXU
-    (f32 accumulate). XLA's native column reduce of a (HW, C) bf16 map
-    measured ~10x slower than memory bandwidth (1.25 ms for the 400²x64
-    entry-IN stats); the two matmuls stream the map at full bandwidth and
-    the x·x operand fuses into the second one."""
+    TPU note: the per-channel sums run in a single-pass Pallas kernel
+    (kernels/moments_pallas.py). XLA's native column reduce of a (HW, C)
+    bf16 map measured ~10x slower than memory bandwidth (1.25 ms for the
+    400²x64 entry-IN stats), and a ones-matmul formulation gets
+    canonicalized back into that same reduce."""
     b, h, w, c = x.shape
-    x2d = x.reshape(b, h * w, c)
-    xf = x2d.astype(jnp.float32)
-    ones = jnp.ones((b, 1, h * w), x.dtype)
     n = jnp.array(h * w, jnp.float32)
-    s1 = jax.lax.dot_general(
-        ones, x2d, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (b, 1, c)
-    s2 = jax.lax.dot_general(
-        ones.astype(jnp.float32), xf * xf, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    mean = (s1 / n)[:, None]                      # (b, 1, 1, c)
-    m2 = (s2 / n)[:, None]
+    if jax.default_backend() == "tpu":
+        from det3d_tpu.kernels.moments_pallas import column_moments
+
+        moments = [column_moments(x[i].reshape(h * w, c)) for i in range(b)]
+        s1 = jnp.stack([m[0] for m in moments])       # (b, c)
+        s2 = jnp.stack([m[1] for m in moments])
+    else:
+        xf = x.reshape(b, h * w, c).astype(jnp.float32)
+        s1 = jnp.sum(xf, axis=1)
+        s2 = jnp.sum(xf * xf, axis=1)
+    mean = (s1 / n)[:, None, None]                    # (b, 1, 1, c)
+    m2 = (s2 / n)[:, None, None]
     var = jnp.maximum(m2 - jnp.square(mean), 0.0)
     inv = jax.lax.rsqrt(var + 1e-3).astype(x.dtype)
     return (x - mean.astype(x.dtype)) * inv
@@ -392,10 +391,22 @@ class RPN(nn.Module):
 
 
 class SharedHead(nn.Module):
-    """Single head over all classes: 1x1 convs → cls/box/dir, reshaped to the
-    anchor-major flat layout [anchor][x][y] matching anchors.build_anchors.
+    """Single head over all classes: one fused 1x1 conv → cls/box/dir in the
+    channel-major (N, k, A) contract over the anchor-major flat order of
+    anchors.build_anchors (reference ordering, anchor_assigner.py:284-298).
 
-    Reference: networks/pointpillars8_shared.py:299-343."""
+    Reference: networks/pointpillars8_shared.py:299-343.
+
+    TPU formulation: the three 1x1 convs are one transposed dot_general
+    `W' (320, 90) x features (HW, 320) → (90, HW)` whose output rows, with
+    the weight columns pre-permuted to [k][anchor] order, ARE the flat
+    channel-major predictions — every downstream layout hop is a pure
+    reshape/row-slice. (Earlier k-minor / transpose formulations cost
+    ~2.2 ms/frame in materialized relayouts of the 1.44M-anchor tensors;
+    the weight-side permutation is a 320x90 no-op at runtime.) Parameters
+    keep nn.Dense's {kernel (in, out), bias (out,)} shapes and the
+    reference's [anchor][k] column order: checkpoints and the torch
+    weights-transplant remain compatible."""
 
     num_anchor_per_loc: int = 9
     box_code_size: int = 7
@@ -403,38 +414,56 @@ class SharedHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
-        n, h, w, _ = x.shape
+        n, h, w, cin = x.shape
         a, code = self.num_anchor_per_loc, self.box_code_size
+        dt = self.compute_dtype
 
-        cls = nn.Dense(a, dtype=self.compute_dtype, name="conv_cls")(x)
-        box = nn.Dense(a * code, dtype=self.compute_dtype, name="conv_box")(x)
-        dire = nn.Dense(a * 2, dtype=self.compute_dtype, name="conv_dir")(x)
+        # nn.Dense-compatible param trees (head/conv_cls/{kernel,bias}, [a][k]
+        # column order), permuted weight-side to [k][a]
+        w_cls, b_cls = _DenseParams(a * 1, name="conv_cls")(cin, a, 1)
+        w_box, b_box = _DenseParams(a * code, name="conv_box")(cin, a, code)
+        w_dir, b_dir = _DenseParams(a * 2, name="conv_dir")(cin, a, 2)
 
-        # (N, H, W, A*k) → (N, k, H*W*A): channel-major flat layout over the
-        # location-major anchor order of anchors.build_anchors. (The
-        # reference transposes to anchor-major [A][H][W] with k minor,
-        # pointpillars8_shared.py:318-341.) Channel-major is what every
-        # consumer wants — the losses' million-lane elementwise math and the
-        # postprocessor's per-channel gathers — so the k-minor (N, HW·A, k)
-        # intermediate (two materialized relayouts of the 1.44M-row box/dir
-        # tensors, ~2.2 ms/frame) never exists: the transpose happens at the
-        # (H, W, A, k) conv-epilogue level where XLA fuses it. Outputs stay
-        # in the compute dtype (bf16); consumers cast to f32 at their (much
-        # smaller) consumption points.
-        def to_flat(t: jax.Array, k: int) -> jax.Array:
-            t = t.reshape(n, h * w, a, k)
-            return t.transpose(0, 3, 1, 2).reshape(n, k, h * w * a)
+        wf = jnp.concatenate([w_cls, w_box, w_dir], axis=1)  # (cin, A·10)
+        bf = jnp.concatenate([b_cls, b_box, b_dir])
 
-        return {
-            "cls_preds": to_flat(cls, 1),
-            "box_preds": to_flat(box, code),
-            "dir_preds": to_flat(dire, 2),
-        }
+        x2d = x.reshape(n, h * w, cin).astype(dt)
+        # (A·10, cin) x (N, HW, cin) contracted on cin → (A·10, N, HW)
+        yt = jax.lax.dot_general(
+            wf.T.astype(dt), x2d, (((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        yt = (yt + bf[:, None, None]).astype(dt)
+        yt = yt.transpose(1, 0, 2)  # (N, A·10, HW) — row permutation only
+
+        hw_ = h * w
+        cls = yt[:, : a].reshape(n, 1, a * hw_)
+        box = yt[:, a : a * (1 + code)].reshape(n, code, a * hw_)
+        dire = yt[:, a * (1 + code) :].reshape(n, 2, a * hw_)
+        return {"cls_preds": cls, "box_preds": box, "dir_preds": dire}
+
+
+class _DenseParams(nn.Module):
+    """Holds nn.Dense-shaped parameters (kernel (in, out), bias (out,)) with
+    the reference's [anchor][k] output-column order, returning them permuted
+    to [k][anchor] for the fused transposed head matmul."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int, a: int, k: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (cin, self.features), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        kp = kernel.reshape(cin, a, k).transpose(0, 2, 1).reshape(cin, a * k)
+        bp = bias.reshape(a, k).T.reshape(-1)
+        return kp, bp
 
 
 class MultiHead(nn.Module):
     """Per-class heads over the shared RPN features, concatenated into the
-    same location-major flat layout as SharedHead.
+    same anchor-major channel-major contract as SharedHead.
 
     The reference's head evolution (SingleHead/MultiHead(s),
     networks/pointpillars8_shared.py:184-296, and the per-class variants in
@@ -450,27 +479,34 @@ class MultiHead(nn.Module):
     def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
         n, h, w, _ = x.shape
         code = self.box_code_size
+        dt = self.compute_dtype
         cls_l, box_l, dir_l = [], [], []
         for ci, a in enumerate(self.anchors_per_class):
-            feat = nn.Dense(64, dtype=self.compute_dtype, name=f"head{ci}_reduce")(x)
+            feat = nn.Dense(64, dtype=dt, name=f"head{ci}_reduce")(x)
             feat = nn.relu(feat)
-            cls = nn.Dense(a, dtype=self.compute_dtype, name=f"head{ci}_cls")(feat)
-            box = nn.Dense(a * code, dtype=self.compute_dtype, name=f"head{ci}_box")(feat)
-            dire = nn.Dense(a * 2, dtype=self.compute_dtype, name=f"head{ci}_dir")(feat)
-            cls_l.append(cls.reshape(n, h * w, a, 1))
-            box_l.append(box.reshape(n, h * w, a, code))
-            dir_l.append(dire.reshape(n, h * w, a, 2))
+            cin = feat.shape[-1]
+            w_cls, b_cls = _DenseParams(a * 1, name=f"head{ci}_cls")(cin, a, 1)
+            w_box, b_box = _DenseParams(a * code, name=f"head{ci}_box")(cin, a, code)
+            w_dir, b_dir = _DenseParams(a * 2, name=f"head{ci}_dir")(cin, a, 2)
+            wf = jnp.concatenate([w_cls, w_box, w_dir], axis=1)
+            bf = jnp.concatenate([b_cls, b_box, b_dir])
+            f2d = feat.reshape(n, h * w, cin)
+            yt = jax.lax.dot_general(
+                wf.T.astype(dt), f2d, (((1,), (2,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            yt = (yt + bf[:, None, None]).astype(dt).transpose(1, 0, 2)
+            hw_ = h * w
+            cls_l.append(yt[:, :a].reshape(n, 1, a * hw_))
+            box_l.append(yt[:, a : a * (1 + code)].reshape(n, code, a * hw_))
+            dir_l.append(yt[:, a * (1 + code) :].reshape(n, 2, a * hw_))
 
-        # concat per-class channels at each location → channel-major flat
-        # (same (N, k, HW·A) contract as SharedHead)
-        def flat(parts, k):
-            t = jnp.concatenate(parts, axis=2)          # (n, HW, A, k)
-            return t.transpose(0, 3, 1, 2).reshape(n, k, -1)
-
+        # classes concatenate along the anchor-major flat axis — the global
+        # [class][size][rot][x][y] order of anchors.build_anchors
         return {
-            "cls_preds": flat(cls_l, 1),
-            "box_preds": flat(box_l, code),
-            "dir_preds": flat(dir_l, 2),
+            "cls_preds": jnp.concatenate(cls_l, axis=2),
+            "box_preds": jnp.concatenate(box_l, axis=2),
+            "dir_preds": jnp.concatenate(dir_l, axis=2),
         }
 
 
@@ -504,6 +540,13 @@ class PointPillars(nn.Module):
         )
         if s2d:
             canvas = scatter_to_bev_s2d(pillar_features, coors, grid_xy)
+        elif jax.default_backend() == "tpu":
+            # XLA lowers the 16k-row scatter to a serialized per-index
+            # update (~1.5 ms/frame); the Pallas builder streams the canvas
+            # at memory bandwidth (kernels/scatter_pallas.py)
+            from det3d_tpu.kernels.scatter_pallas import scatter_to_bev_pallas
+
+            canvas = scatter_to_bev_pallas(pillar_features, coors, grid_xy)
         else:
             canvas = scatter_to_bev(pillar_features, coors, grid_xy)
         rpn_features = RPN(compute_dtype=dtype, entry_s2d=s2d, name="rpn")(canvas)

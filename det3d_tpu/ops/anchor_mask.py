@@ -103,14 +103,14 @@ def separable_corner_index_vectors(
     """Per anchor channel: (rows_min, rows_max, cols_min, cols_max) index
     vectors, or None if any channel's cells aren't row/column-separable.
 
-    corner_cells is in the location-major flat layout: (fx·fy·C, 4) with
-    channel minor; each channel forms one regular (fx, fy) grid.
+    corner_cells is in the anchor-major flat layout: (C·fx·fy, 4) with
+    channel MAJOR; each channel forms one regular (fx, fy) grid.
     """
     fx, fy = grid_hw
-    cells_all = corner_cells.reshape(fx, fy, num_channels, 4)
+    cells_all = corner_cells.reshape(num_channels, fx, fy, 4)
     out = []
     for ch in range(num_channels):
-        cells = cells_all[:, :, ch]
+        cells = cells_all[ch]
         rows_min, cols_min = cells[:, 0, 0], cells[0, :, 1]
         rows_max, cols_max = cells[:, 0, 2], cells[0, :, 3]
         ok = (
@@ -128,7 +128,7 @@ def separable_corner_index_vectors(
 def anchors_mask_from_sat_separable(sat: jax.Array, index_vectors) -> jax.Array:
     """Separable SAT lookup: same `ID - IB - IC + IA > 0` as
     anchors_mask_from_sat, evaluated with row/column takes per channel.
-    Output is location-major flat: (fx·fy·C,) with channel minor."""
+    Output is anchor-major flat: (C·fx·fy,), channel blocks concatenated."""
     masks = []
     for rows_min, rows_max, cols_min, cols_max in index_vectors:
         t = jnp.take(sat, jnp.asarray(rows_max), axis=0) - jnp.take(
@@ -138,7 +138,7 @@ def anchors_mask_from_sat_separable(sat: jax.Array, index_vectors) -> jax.Array:
             t, jnp.asarray(cols_min), axis=1
         )  # (fx, fy)
         masks.append(m > 0)
-    return jnp.stack(masks, axis=-1).reshape(-1)
+    return jnp.stack(masks, axis=0).reshape(-1)
 
 
 def compute_anchors_mask_separable(

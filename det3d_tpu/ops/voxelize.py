@@ -88,6 +88,27 @@ def point_cell_coords(points: jax.Array, spec: VoxelizerSpec):
     return coor, inside
 
 
+def _suffix_min_2level(a: jax.Array, n: int) -> jax.Array:
+    """Suffix-min (reverse cummin) of a 1D int32 array via a 2-level
+    row/column decomposition.
+
+    XLA's 1D cummin over 120k elements lowers to ~17 unaligned shifted-min
+    passes and measured ~0.7 ms; reshaping to (R, 512) makes every pass a
+    full-tile op (in-row reverse cummin + a tiny cross-row suffix)."""
+    cdim = 512
+    big = jnp.iinfo(a.dtype).max
+    r = (n + cdim - 1) // cdim
+    pad = r * cdim - n
+    a2 = jnp.concatenate([a, jnp.full((pad,), big, a.dtype)]).reshape(r, cdim)
+    in_row = jax.lax.cummin(a2, axis=1, reverse=True)          # (r, cdim)
+    row_min = in_row[:, 0]                                     # (r,)
+    rows_after = jnp.concatenate(
+        [jax.lax.cummin(row_min, axis=0, reverse=True)[1:], jnp.full((1,), big, a.dtype)]
+    )                                                          # (r,)
+    out = jnp.minimum(in_row, rows_after[:, None])
+    return out.reshape(-1)[:n]
+
+
 def voxelize(
     points: jax.Array,
     num_points: jax.Array,
@@ -116,7 +137,82 @@ def voxelize(
     cell_id = coor[:, 0] * (ny * nz) + coor[:, 1] * nz + coor[:, 2]
     cell_id = jnp.where(valid, cell_id, num_cells)  # sentinel sorts last
 
-    # --- stable grouping sort -------------------------------------------
+    if fcfs:
+        # --- stable grouping sort, CARRYING the point data ----------------
+        # Sorting the coordinate columns alongside the key moves the data
+        # inside the sort network; the explicit 120k-row `points[order]`
+        # gather it replaces cost ~0.8 ms (rows of 16 B are latency-bound,
+        # sort passes are streaming).
+        cols = tuple(points[:, i] for i in range(c))
+        sorted_ops = jax.lax.sort(
+            (cell_id,) + cols + (rank,), num_keys=1, is_stable=True
+        )
+        sid = sorted_ops[0]
+        spoints = jnp.stack(sorted_ops[1 : 1 + c], axis=1)   # (n, c) sorted
+        order = sorted_ops[-1]                                # original index
+        svalid = sid < num_cells
+
+        prev = jnp.concatenate([jnp.full((1,), -1, sid.dtype), sid[:-1]])
+        head = (sid != prev) & svalid                # first point of each pillar
+        pos = jnp.arange(n, dtype=jnp.int32)
+        voxel_num = jnp.minimum(jnp.sum(head.astype(jnp.int32)), spec.max_voxels)
+
+        # fcfs slot order via a SECOND small sort: heads keyed by their
+        # original arrival index sort to the front in first-occurrence
+        # order, and the carried `pos` is exactly headpos[s]. (Replaces a
+        # scatter + 1D cumsum + scatter chain that cost ~1.5 ms: XLA's 1D
+        # scans/scatters on 120k elements are lane-hostile.)
+        head_key = jnp.where(head, order, n)
+        _, headpos_all = jax.lax.sort((head_key, pos), num_keys=1)
+        headpos = headpos_all[: spec.max_voxels]
+        slot_ids = jnp.arange(spec.max_voxels, dtype=jnp.int32)
+        valid_slot = slot_ids < voxel_num
+
+        # exclusive suffix-min of head positions → end of each head's segment
+        # (clamped to the valid-point count: invalid sentinel points sort
+        # last and must not extend the final pillar's segment)
+        total_valid = jnp.sum(svalid.astype(jnp.int32))
+        arr = jnp.where(head, pos, n)
+        suffix_min = _suffix_min_2level(arr, n)
+        seg_end = jnp.minimum(
+            jnp.concatenate([suffix_min[1:], jnp.full((1,), n, jnp.int32)])[headpos],
+            total_valid,
+        )
+        counts = jnp.where(
+            valid_slot,
+            jnp.minimum(seg_end - headpos, spec.max_num_points),
+            0,
+        ).astype(jnp.int32)
+
+        # coors derived arithmetically from the sorted cell id (bit-exact,
+        # no gathered coordinate columns needed)
+        sid_slot = sid[headpos]
+        cx = sid_slot // (ny * nz)
+        rem = sid_slot % (ny * nz)
+        coors = jnp.where(
+            valid_slot[:, None],
+            jnp.stack([cx, rem // nz, rem % nz], axis=1),
+            -1,
+        ).astype(jnp.int32)
+
+        # voxels: one sliced gather of (max_num_points, c) windows at each
+        # head position — 16k slice-gathers instead of 240k row-gathers
+        spoints_pad = jnp.concatenate(
+            [spoints, jnp.zeros((spec.max_num_points, c), spoints.dtype)], axis=0
+        )
+        windows = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(
+                spoints_pad, (s, 0), (spec.max_num_points, c)
+            )
+        )(headpos)                                            # (V, P, c)
+        slot_valid = (
+            valid_slot[:, None]
+            & (jnp.arange(spec.max_num_points, dtype=jnp.int32)[None, :] < counts[:, None])
+        )
+        voxels = jnp.where(slot_valid[..., None], windows, 0.0)
+        return VoxelizedFrame(voxels, coors, counts, voxel_num)
+
+    # --- cell-id-ordered slots (fcfs=False): original sort + scatters -----
     order = jnp.argsort(cell_id, stable=True)          # (n,) original index per sorted pos
     sid = cell_id[order]                                # sorted cell ids
     spoints = points[order]
@@ -135,64 +231,6 @@ def voxelize(
     voxel_num_total = jnp.sum(head.astype(jnp.int32))
 
     voxel_num = jnp.minimum(voxel_num_total, spec.max_voxels)
-
-    if fcfs:
-        # GATHER formulation (TPU scatters are ~2x slower than gathers; the
-        # three output scatters were the hottest ops of the whole pipeline):
-        # fcfs_perm[s] is the sorted-position of the head of the s-th pillar
-        # in first-occurrence order, so every output is a plain gather:
-        #   coors[s]     = scoor[fcfs_perm[s]]
-        #   counts[s]    = (next head pos after fcfs_perm[s]) - fcfs_perm[s]
-        #   voxels[s, p] = spoints[fcfs_perm[s] + p]   (segments are
-        #                  consecutive in the sorted order)
-        # fcfs rank of each pillar = #heads whose first point arrived earlier
-        # = prefix count over original positions (scatter + cumsum replaces a
-        # second full argsort, ~0.5ms on the 120k array)
-        head_flag = (
-            jnp.zeros((n,), jnp.int32)
-            .at[jnp.where(head, order, n)]
-            .set(1, mode="drop", unique_indices=True)
-        )
-        rank_by_orig = jnp.cumsum(head_flag) - 1        # rank at ORIGINAL index
-        slot_of_head = rank_by_orig[order]              # (n,) valid at head positions
-        # headpos[s] = sorted-position of the pillar ranked s
-        headpos = (
-            jnp.zeros((spec.max_voxels,), jnp.int32)
-            .at[jnp.where(head, jnp.minimum(slot_of_head, spec.max_voxels), spec.max_voxels)]
-            .set(pos, mode="drop")
-        )
-        slot_ids = jnp.arange(spec.max_voxels, dtype=jnp.int32)
-        valid_slot = slot_ids < voxel_num
-
-        # exclusive suffix-min of head positions → end of each head's segment
-        # (clamped to the valid-point count: invalid sentinel points sort
-        # last and must not extend the final pillar's segment)
-        total_valid = jnp.sum(svalid.astype(jnp.int32))
-        arr = jnp.where(head, pos, n)
-        suffix_min = jnp.flip(jax.lax.cummin(jnp.flip(arr)))
-        seg_end = jnp.minimum(
-            jnp.concatenate([suffix_min[1:], jnp.full((1,), n, jnp.int32)])[headpos],
-            total_valid,
-        )
-        counts = jnp.where(
-            valid_slot,
-            jnp.minimum(seg_end - headpos, spec.max_num_points),
-            0,
-        ).astype(jnp.int32)
-
-        coors = jnp.where(valid_slot[:, None], scoor[headpos], -1)
-
-        src = headpos[:, None] + jnp.arange(spec.max_num_points, dtype=jnp.int32)[None, :]
-        slot_valid = (
-            valid_slot[:, None]
-            & (jnp.arange(spec.max_num_points, dtype=jnp.int32)[None, :] < counts[:, None])
-        )
-        voxels = jnp.where(
-            slot_valid[..., None],
-            spoints[jnp.clip(src, 0, n - 1)],
-            0.0,
-        )
-        return VoxelizedFrame(voxels, coors, counts, voxel_num)
 
     # cell-id-ordered slots (fcfs=False): scatter formulation.
     # NB: `mode="drop"` only drops indices beyond the upper bound — negative

@@ -165,17 +165,17 @@ def make_postprocessor(cfg: Config, anchor_set: AnchorSet, params: PostProcessPa
         jnp.asarray(anchor_set.anchors_by_class[s.name]) for s in cfg.class_specs
     ]
 
+    hw = int(np.prod(cfg.feature_map_size))
+
     def postprocess(preds: dict[str, jax.Array], anchors_mask: jax.Array) -> Detections:
-        # preds are single-frame channel-major (k, A), location-major anchor
-        # order: score the full tensor ONCE, then per class only the (cheap)
-        # f32 score channels are sliced; box/dir stay global and are
-        # gathered post-top-k by global index
+        # preds are single-frame channel-major (k, A) in the anchor-major
+        # flat order: per-class anchors are CONTIGUOUS row ranges, so class
+        # slicing is free and class-flat → global index is `idx + c0·hw`
         scores_all = jax.nn.sigmoid(
             preds["cls_preds"].astype(jnp.float32)
-        ).reshape(-1, nch)
+        ).reshape(-1)
         gated_all = jnp.where(
-            anchors_mask.reshape(-1, nch)
-            & (scores_all >= params.score_threshold),
+            anchors_mask & (scores_all >= params.score_threshold),
             scores_all,
             -1.0,
         )
@@ -184,14 +184,11 @@ def make_postprocessor(cfg: Config, anchor_set: AnchorSet, params: PostProcessPa
 
         boxes_l, scores_l, valid_l = [], [], []
         for (c0, c1), anchors in zip(channels, class_anchors):
-            ac = c1 - c0
-
-            def gidx_fn(idx, c0=c0, ac=ac):
-                # class-flat (loc*ac + ch) → global flat (loc*nch + c0 + ch)
-                return (idx // ac) * nch + c0 + (idx % ac)
+            def gidx_fn(idx, c0=c0):
+                return idx + c0 * hw
 
             bx, sc, va = _postprocess_one_class(
-                gated_all[:, c0:c1].reshape(-1),
+                gated_all[c0 * hw : c1 * hw],
                 gidx_fn, box_all_t, dir_all_t,
                 anchors, center_limit, params,
             )

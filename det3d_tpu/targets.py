@@ -129,9 +129,12 @@ def make_target_assigner(cfg: Config, anchor_set: AnchorSet, use_pallas: bool | 
         gt_boxes: jax.Array,      # (G, 7)
         gt_classes: jax.Array,    # (G,) int32, 1-based
         gt_valid: jax.Array,      # (G,) bool
-        anchors_mask: jax.Array,  # (A,) bool, location-major flat
+        anchors_mask: jax.Array,  # (A,) bool, anchor-major flat
     ) -> TargetAssignment:
-        mask_ch = anchors_mask.reshape(-1, nch)
+        # anchor-major flat layout: per-class anchors are contiguous row
+        # ranges, so per-class masks are slices and the per-class results
+        # concatenate directly — no reinterleave
+        mask_ch = anchors_mask.reshape(nch, -1)
         labels_l, targets_l, weights_l, dir_l = [], [], [], []
         for ci, ((c0, c1), anchors, anchors_bv, (mth, uth)) in enumerate(
             zip(channels, class_anchors, class_anchors_bv, thresholds)
@@ -141,26 +144,23 @@ def make_target_assigner(cfg: Config, anchor_set: AnchorSet, use_pallas: bool | 
                 from det3d_tpu.kernels.matcher_pallas import assign_class_pallas
 
                 lab, tgt, w, d = assign_class_pallas(
-                    anchors, anchors_bv, mask_ch[:, c0:c1].reshape(-1),
+                    anchors, anchors_bv, mask_ch[c0:c1].reshape(-1),
                     gt_boxes, cls_valid, mth, uth
                 )
             else:
                 lab, tgt, w, d = _assign_one_class(
-                    anchors, anchors_bv, mask_ch[:, c0:c1].reshape(-1),
+                    anchors, anchors_bv, mask_ch[c0:c1].reshape(-1),
                     gt_boxes, cls_valid, mth, uth
                 )
-            # per-class results are (locations*(c1-c0), ...) — reinterleave
-            # into the location-major channel axis (bbox targets stay
-            # channel-major (7, ...) throughout)
-            labels_l.append(lab.reshape(-1, c1 - c0))
-            targets_l.append(tgt.reshape(7, -1, c1 - c0))
-            weights_l.append(w.reshape(-1, c1 - c0))
-            dir_l.append(d.reshape(-1, c1 - c0))
+            labels_l.append(lab)
+            targets_l.append(tgt)
+            weights_l.append(w)
+            dir_l.append(d)
         return TargetAssignment(
-            labels=jnp.concatenate(labels_l, axis=1).reshape(-1),
-            bbox_targets=jnp.concatenate(targets_l, axis=2).reshape(7, -1),
-            bbox_outside_weights=jnp.concatenate(weights_l, axis=1).reshape(-1),
-            dir_targets=jnp.concatenate(dir_l, axis=1).reshape(-1),
+            labels=jnp.concatenate(labels_l),
+            bbox_targets=jnp.concatenate(targets_l, axis=1),
+            bbox_outside_weights=jnp.concatenate(weights_l),
+            dir_targets=jnp.concatenate(dir_l),
         )
 
     return assign

@@ -159,6 +159,127 @@ class BEVRenderer:
         return path
 
 
+_BOX3D_EDGES = [
+    (0, 1), (1, 2), (2, 3), (3, 0),   # bottom face
+    (4, 5), (5, 6), (6, 7), (7, 4),   # top face
+    (0, 4), (1, 5), (2, 6), (3, 7),   # verticals
+]
+
+
+def project_boxes_to_image(
+    boxes_lidar: np.ndarray,  # (N, 7) lidar [x y z l w h yaw]
+    rect: np.ndarray,         # calib/R0_rect (4, 4)
+    velo2cam: np.ndarray,     # calib/Tr_velo_to_cam (4, 4)
+    p2: np.ndarray,           # calib/P2 (4, 4)
+    image_shape: tuple[int, int] | None = None,  # (h, w)
+) -> np.ndarray:
+    """Lidar boxes → (M, 8, 2) image-plane corner sets.
+
+    Reproduces the reference viewer's gt-in-image projection
+    (viewer.py:457-508 `draw_gt_in_image`): camera transform, behind-camera
+    cull (z > 0), 3D corners, P2 projection, and the any-corner-inside
+    image crop when `image_shape` is given."""
+    import numpy as _np
+
+    boxes_lidar = _np.asarray(boxes_lidar, _np.float64).reshape(-1, 7)
+    if boxes_lidar.size == 0:
+        return _np.zeros((0, 8, 2))
+
+    import jax.numpy as jnp
+
+    from det3d_tpu.ops import geometry
+
+    cam = _np.asarray(
+        geometry.box_lidar_to_camera(
+            jnp.asarray(boxes_lidar), jnp.asarray(rect), jnp.asarray(velo2cam)
+        )
+    )
+    cam = cam[cam[:, 2] > 0]
+    if cam.size == 0:
+        return _np.zeros((0, 8, 2))
+    corners = _np.asarray(
+        geometry.center_to_corner_box3d(
+            jnp.asarray(cam[:, :3]), jnp.asarray(cam[:, 3:6]), jnp.asarray(cam[:, 6]),
+            origin=(0.5, 1.0, 0.5), axis=1,
+        )
+    )
+    pts = _np.asarray(
+        geometry.project_to_image(
+            jnp.asarray(corners.reshape(-1, 3)), jnp.asarray(p2)
+        )
+    ).reshape(-1, 8, 2)
+    if image_shape is not None:
+        h, w = image_shape[:2]
+        inside = (
+            (pts[..., 0] > 0) & (pts[..., 0] < w)
+            & (pts[..., 1] > 0) & (pts[..., 1] < h)
+        ).any(axis=1)
+        pts = pts[inside]
+    return pts
+
+
+def render_image_overlay(
+    image: np.ndarray,
+    calib: dict,
+    gt_boxes: np.ndarray | None = None,
+    dt_boxes: np.ndarray | None = None,
+    out_path: str | Path = "overlay.png",
+) -> Path:
+    """Camera image with projected 3D box wireframes (reference
+    viewer.py:230-235 `plot_image` + :457-508 + bbox_plot.draw_3d_bbox_in_ax).
+
+    `calib` keys follow create_info: 'calib/R0_rect', 'calib/Tr_velo_to_cam',
+    'calib/P2'. gt drawn green, detections yellow."""
+    fig, ax = plt.subplots(figsize=(12, 5))
+    ax.imshow(image)
+    ax.axis("off")
+    for boxes, color in ((gt_boxes, GT_COLOR), (dt_boxes, DT_COLOR)):
+        if boxes is None or len(boxes) == 0:
+            continue
+        pts = project_boxes_to_image(
+            boxes, calib["calib/R0_rect"], calib["calib/Tr_velo_to_cam"],
+            calib["calib/P2"], image.shape[:2],
+        )
+        segs = [
+            [pts[i, a], pts[i, b]]
+            for i in range(len(pts))
+            for a, b in _BOX3D_EDGES
+        ]
+        ax.add_collection(LineCollection(segs, colors=color, linewidths=1.0))
+    path = Path(out_path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def render_sequence(
+    frames, out_dir: str | Path, detection_range=(-80, -80, 80, 80)
+) -> list[Path]:
+    """Batch/video capture: render an iterable of frame dicts to numbered
+    PNGs (reference viewer.py:443-449 `on_saveVideoPressed` walks frames and
+    screenshots each; assemble with ffmpeg/imageio offline as desired).
+
+    Each frame dict: {'points', optional 'gt_boxes', 'dt_boxes', 'scores',
+    'title'}."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for i, f in enumerate(frames):
+        paths.append(
+            render_scene(
+                f["points"],
+                gt_boxes=f.get("gt_boxes"),
+                dt_boxes=f.get("dt_boxes"),
+                scores=f.get("scores"),
+                out_path=out_dir / f"frame_{i:05d}.png",
+                detection_range=detection_range,
+                title=f.get("title", f"frame {i}"),
+            )
+        )
+    return paths
+
+
 def render_scene(
     points: np.ndarray,
     gt_boxes: np.ndarray | None = None,

@@ -3,9 +3,9 @@
 Values are computed independently in-test from the reference's generation
 formula (reference: framework/anchor_assigner.py:300-320 — grid centers at
 `idx*stride + offset + stride/2`, z-offset overridden to half the anchor
-height) and the hard-coded class specs (:224-245). Also pins the
-location-major flat-layout contract ((x·fy + y)·A + channel) against the
-reference's anchor-major ordering via an explicit index bijection.
+height) and the hard-coded class specs (:224-245). The flat layout is the
+reference's own anchor-major ordering (channel·fx·fy + x·fy + y), so the
+flat table is element-for-element the reference's concatenation.
 """
 
 import os
@@ -54,7 +54,6 @@ class TestProductionAnchors:
         """Anchor rows equal the reference formula at sampled (x, y, ch)."""
         cfg, aset = production
         fx, fy = aset.grid_hw
-        a = aset.num_channels
         # production strides/offsets: 160 m over 400 cells → 0.4 m,
         # offset −80 (snapped range) + stride/2
         stride = cfg.detection_range_diff[0] / fx
@@ -63,11 +62,12 @@ class TestProductionAnchors:
         off_y = cfg.detection_offset[1] + stride / 2
         assert off_x == pytest.approx(-80.0 + 0.2)
 
+        a = aset.num_channels
         rng = np.random.RandomState(0)
         for _ in range(50):
             x, y, ch = rng.randint(fx), rng.randint(fy), rng.randint(a)
             _, (l, w, h), rot, _, _ = CHANNELS[ch]
-            got = aset.anchors[(x * fy + y) * a + ch]
+            got = aset.anchors[ch * fx * fy + x * fy + y]
             np.testing.assert_allclose(
                 got,
                 [x * stride + off_x, y * stride + off_y, h / 2, l, w, h, rot],
@@ -77,8 +77,8 @@ class TestProductionAnchors:
     def test_thresholds_per_channel(self, production):
         _, aset = production
         a = aset.num_channels
-        m = aset.matched_threshold.reshape(-1, a)
-        u = aset.unmatched_threshold.reshape(-1, a)
+        m = aset.matched_threshold.reshape(a, -1).T
+        u = aset.unmatched_threshold.reshape(a, -1).T
         for ch, (_, _, _, matched, unmatched) in enumerate(CHANNELS):
             assert (m[:, ch] == np.float32(matched)).all()
             assert (u[:, ch] == np.float32(unmatched)).all()
@@ -89,10 +89,11 @@ class TestProductionAnchors:
         _, aset = production
         fx, fy = aset.grid_hw
         a = aset.num_channels
-        loc = (123 * fy + 45) * a
+        loc = 123 * fy + 45
         for ch, (_, (l, w, _), rot, _, _) in enumerate(CHANNELS):
-            bv = aset.anchors_bv[loc + ch]
-            cx, cy = aset.anchors[loc + ch, :2]
+            idx = ch * fx * fy + loc
+            bv = aset.anchors_bv[idx]
+            cx, cy = aset.anchors[idx, :2]
             dims_x = bv[2] - bv[0]
             dims_y = bv[3] - bv[1]
             expect = (w, l) if abs(rot) > np.pi / 4 else (l, w)
@@ -101,25 +102,22 @@ class TestProductionAnchors:
             assert (bv[0] + bv[2]) / 2 == pytest.approx(cx, abs=1e-4)
             assert (bv[1] + bv[3]) / 2 == pytest.approx(cy, abs=1e-4)
 
-    def test_location_major_vs_reference_anchor_major_bijection(self, production):
-        """The flat layout is the exact permutation of the reference's
-        anchor-major concatenation: ref_flat[ch·fx·fy + x·fy + y] ==
-        here[(x·fy + y)·A + ch]."""
+    def test_per_class_tables_are_row_range_views(self, production):
+        """Per-class tables are the contiguous [c0·HW, c1·HW) row ranges of
+        the global anchor-major table (reference class_masks semantics,
+        anchor_assigner.py:284-285)."""
         _, aset = production
         fx, fy = aset.grid_hw
-        a = aset.num_channels
-        # rebuild the reference-ordered table from the per-channel formula
         rng = np.random.RandomState(1)
         for _ in range(20):
-            ch, x, y = rng.randint(a), rng.randint(fx), rng.randint(fy)
-            mine = aset.anchors[(x * fy + y) * a + ch]
-            # per-class contiguous tables keep the reference's within-class
-            # ordering semantics: row index (x·fy + y)·A_cls + (ch − c0)
+            ch = rng.randint(aset.num_channels)
+            x, y = rng.randint(fx), rng.randint(fy)
+            mine = aset.anchors[ch * fx * fy + x * fy + y]
             name = CHANNELS[ch][0]
             c0, c1 = aset.class_channels[name]
             per_cls = aset.anchors_by_class[name]
             np.testing.assert_array_equal(
-                per_cls[(x * fy + y) * (c1 - c0) + (ch - c0)], mine
+                per_cls[(ch - c0) * fx * fy + x * fy + y], mine
             )
 
     def test_z_offset_is_half_height_not_range_z(self, production):
@@ -127,6 +125,6 @@ class TestProductionAnchors:
         anchors), ignoring the z detection offset — pin that quirk."""
         _, aset = production
         a = aset.num_channels
-        z = aset.anchors[:, 2].reshape(-1, a)
+        z = aset.anchors[:, 2].reshape(a, -1)
         for ch, (_, (_, _, h), _, _, _) in enumerate(CHANNELS):
-            assert (z[:, ch] == np.float32(h / 2)).all()
+            assert (z[ch] == np.float32(h / 2)).all()

@@ -285,3 +285,61 @@ class TestBatchedInfer:
                 np.testing.assert_allclose(
                     np.sort(a["score"]), np.sort(b["score"]), atol=1e-4
                 )
+
+
+class TestViewerImageOverlay:
+    def _calib(self):
+        # simple pinhole: camera at lidar origin looking +x (lidar) = +z (cam)
+        velo2cam = np.array(
+            [[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1]], np.float64
+        )
+        rect = np.eye(4)
+        p2 = np.array(
+            [[500, 0, 320, 0], [0, 500, 240, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+            np.float64,
+        )
+        return {"calib/R0_rect": rect, "calib/Tr_velo_to_cam": velo2cam, "calib/P2": p2}
+
+    def test_projection_front_box_lands_in_image(self):
+        from det3d_tpu.viewer.render import project_boxes_to_image
+
+        c = self._calib()
+        boxes = np.array([[10.0, 0.0, -1.0, 4.0, 2.0, 1.6, 0.3]])
+        pts = project_boxes_to_image(
+            boxes, c["calib/R0_rect"], c["calib/Tr_velo_to_cam"], c["calib/P2"],
+            image_shape=(480, 640),
+        )
+        assert pts.shape == (1, 8, 2)
+        # box straight ahead → corners near the principal point (320, 240)
+        assert 100 < pts[..., 0].mean() < 540
+        assert 80 < pts[..., 1].mean() < 400
+
+    def test_behind_camera_box_culled(self):
+        from det3d_tpu.viewer.render import project_boxes_to_image
+
+        c = self._calib()
+        boxes = np.array([[-10.0, 0.0, -1.0, 4.0, 2.0, 1.6, 0.0]])
+        pts = project_boxes_to_image(
+            boxes, c["calib/R0_rect"], c["calib/Tr_velo_to_cam"], c["calib/P2"]
+        )
+        assert pts.shape == (0, 8, 2)
+
+    def test_render_overlay_and_sequence(self, tmp_path):
+        from det3d_tpu.viewer.render import render_image_overlay, render_sequence
+
+        c = self._calib()
+        img = np.zeros((480, 640, 3), np.uint8)
+        out = render_image_overlay(
+            img, c, gt_boxes=np.array([[10.0, 0, -1, 4, 2, 1.6, 0.0]]),
+            dt_boxes=np.array([[12.0, 1, -1, 4, 2, 1.6, 0.2]]),
+            out_path=tmp_path / "ov.png",
+        )
+        assert out.exists() and out.stat().st_size > 0
+
+        frames = [
+            {"points": np.random.rand(100, 4) * 20 - 10,
+             "gt_boxes": np.array([[1.0, 2, 0, 4, 2, 1.6, 0.1]])}
+            for _ in range(3)
+        ]
+        paths = render_sequence(frames, tmp_path / "seq", detection_range=(-20, -20, 20, 20))
+        assert len(paths) == 3 and all(p.exists() for p in paths)

@@ -85,7 +85,7 @@ class TestHeadOrdering:
         base = head.apply(variables, jnp.zeros_like(x))
         diff = np.abs(np.asarray(out["cls_preds"] - base["cls_preds"]))[0, 0, :]
         hit = np.nonzero(diff > 1e-9)[0]
-        expected = np.array([(xi * w + yi) * a + ai for ai in range(a)])
+        expected = np.array([ai * h * w + xi * w + yi for ai in range(a)])
         np.testing.assert_array_equal(np.sort(hit), expected)
 
 
@@ -161,3 +161,42 @@ class TestEntryS2D:
                 np.asarray(out_p[k]), np.asarray(out_s[k]), atol=2e-4,
                 err_msg=k,
             )
+
+
+class TestScatterPallas:
+    def test_matches_xla_scatter(self):
+        """Pallas canvas builder (interpret mode) vs the XLA scatter."""
+        import jax.numpy as jnp
+
+        from det3d_tpu.kernels.scatter_pallas import scatter_to_bev_pallas
+
+        r = np.random.RandomState(0)
+        b, v, c, nx, ny = 2, 37, 8, 20, 25
+        feats = r.randn(b, v, c).astype(np.float32)
+        coors = np.full((b, v, 3), -1, np.int32)
+        for bi in range(b):
+            n_valid = 30
+            cells = r.choice(nx * ny, n_valid, replace=False)
+            coors[bi, :n_valid, 0] = cells // ny
+            coors[bi, :n_valid, 1] = cells % ny
+            coors[bi, :n_valid, 2] = 0
+        ref = np.asarray(scatter_to_bev(jnp.asarray(feats), jnp.asarray(coors), (nx, ny)))
+        got = np.asarray(
+            scatter_to_bev_pallas(
+                jnp.asarray(feats), jnp.asarray(coors), (nx, ny), interpret=True
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+
+    def test_all_empty(self):
+        import jax.numpy as jnp
+
+        from det3d_tpu.kernels.scatter_pallas import scatter_to_bev_pallas
+
+        feats = np.ones((1, 5, 4), np.float32)
+        coors = np.full((1, 5, 3), -1, np.int32)
+        got = np.asarray(
+            scatter_to_bev_pallas(jnp.asarray(feats), jnp.asarray(coors), (8, 8), interpret=True)
+        )
+        assert got.shape == (1, 8, 8, 4)
+        assert (got == 0).all()

@@ -19,19 +19,19 @@ def postprocess_ref(cfg, anchor_set, preds, anchors_mask, params):
     """Numpy reimplementation of the per-class pipeline
     (reference framework/inference.py:26-138)."""
     nch = anchor_set.num_channels
-    cls_ch = preds["cls_preds"].reshape(-1, nch, 1)
-    box_ch = preds["box_preds"].reshape(-1, nch, 7)
-    dir_ch = preds["dir_preds"].reshape(-1, nch, 2)
-    mask_ch = anchors_mask.reshape(-1, nch)
+    cls_ch = preds["cls_preds"].reshape(nch, -1, 1)
+    box_ch = preds["box_preds"].reshape(nch, -1, 7)
+    dir_ch = preds["dir_preds"].reshape(nch, -1, 2)
+    mask_ch = anchors_mask.reshape(nch, -1)
     out = []
     for spec in cfg.class_specs:
         c0, c1 = anchor_set.class_channels[spec.name]
         anchors = anchor_set.anchors_by_class[spec.name]
-        cls_c = cls_ch[:, c0:c1].reshape(-1, 1)
-        box_c = box_ch[:, c0:c1].reshape(-1, 7)
-        dir_c = dir_ch[:, c0:c1].reshape(-1, 2)
+        cls_c = cls_ch[c0:c1].reshape(-1, 1)
+        box_c = box_ch[c0:c1].reshape(-1, 7)
+        dir_c = dir_ch[c0:c1].reshape(-1, 2)
         scores = 1 / (1 + np.exp(-cls_c.max(-1)))
-        gate = mask_ch[:, c0:c1].reshape(-1) & (scores >= params.score_threshold)
+        gate = mask_ch[c0:c1].reshape(-1) & (scores >= params.score_threshold)
         ms = np.where(gate, scores, -1.0)
         k = min(params.nms_pre_max_size, len(ms))
         idx = np.argsort(-ms, kind="stable")[:k]

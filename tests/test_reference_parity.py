@@ -218,10 +218,8 @@ def _make_inputs(cfg, n_valid=40, full=False, seed=1):
     )
 
 
-def _loc_major_view(ref_flat: np.ndarray, a: int, hw: int, k: int) -> np.ndarray:
-    """Reference anchor-major (a·HW + loc) → this repo's location-major
-    (loc·A + a) flat ordering (see SharedHead docstring)."""
-    return ref_flat.reshape(-1, a, hw, k).transpose(0, 2, 1, 3).reshape(-1, a * hw, k)
+# the repo's flat anchor order is the reference's own anchor-major ordering
+# (a·HW + loc), so prediction tensors compare directly after moving k-major
 
 
 class TestModelParity:
@@ -252,9 +250,10 @@ class TestModelParity:
 
         a = cfg.num_anchors_per_loc
         h, w = cfg.feature_map_size[0], cfg.feature_map_size[1]
+        del a, h, w  # flat order identical to the reference's
         for key, k in (("cls_preds", 1), ("box_preds", 7), ("dir_preds", 2)):
-            ref_v = _loc_major_view(ref_out[key].numpy(), a, h * w, k)
-            # model contract is channel-major (N, k, HW*A)
+            ref_v = ref_out[key].numpy()
+            # model contract is channel-major (N, k, A); ref is (N, A, k)
             got = np.asarray(out[key], np.float32).transpose(0, 2, 1)
             np.testing.assert_allclose(got, ref_v, atol=2e-4, rtol=1e-4)
 

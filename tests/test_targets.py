@@ -18,7 +18,7 @@ def assign_ref_all(cfg, aset, anchors_mask, gt_boxes, gt_classes):
     location-major channel layout (like the reference's loop over
     class_masks, adapted to the flat-order divergence)."""
     nch = aset.num_channels
-    mask_ch = anchors_mask.reshape(-1, nch)
+    mask_ch = anchors_mask.reshape(nch, -1)
     labels_l, targets_l, weights_l, dir_l = [], [], [], []
     for ci, spec in enumerate(cfg.class_specs):
         c0, c1 = aset.class_channels[spec.name]
@@ -26,18 +26,19 @@ def assign_ref_all(cfg, aset, anchors_mask, gt_boxes, gt_classes):
         lab, tgt, w, d = np_ref.assign_targets_ref(
             aset.anchors_by_class[spec.name],
             aset.anchors_bv_by_class[spec.name],
-            mask_ch[:, c0:c1].reshape(-1),
+            mask_ch[c0:c1].reshape(-1),
             gt_boxes[mask], spec.matched_threshold, spec.unmatched_threshold,
         )
-        labels_l.append(lab.reshape(-1, c1 - c0))
-        targets_l.append(tgt.reshape(-1, c1 - c0, 7))
-        weights_l.append(w.reshape(-1, c1 - c0))
-        dir_l.append(d.reshape(-1, c1 - c0))
+        labels_l.append(lab)
+        targets_l.append(tgt)
+        weights_l.append(w)
+        dir_l.append(d)
+    # anchor-major flat: per-class blocks concatenate directly
     return (
-        np.concatenate(labels_l, axis=1).reshape(-1),
-        np.concatenate(targets_l, axis=1).reshape(-1, 7),
-        np.concatenate(weights_l, axis=1).reshape(-1),
-        np.concatenate(dir_l, axis=1).reshape(-1),
+        np.concatenate(labels_l),
+        np.concatenate(targets_l, axis=0),
+        np.concatenate(weights_l),
+        np.concatenate(dir_l),
     )
 
 
