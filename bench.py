@@ -39,7 +39,14 @@ def synthetic_cloud(max_points: int, n: int, seed: int = 0) -> np.ndarray:
 
 
 def main() -> None:
+    import argparse
+
     import jax
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/ntusl_20cm.json")
+    ap.add_argument("--iters", type=int, default=48)
+    args = ap.parse_args()
 
     # persistent compile cache: the remote AOT helper takes ~10 min cold on
     # the full pipeline; cached compiles load in seconds
@@ -54,7 +61,7 @@ def main() -> None:
 
     num_real_points = 100_000
     num_clouds = 8
-    cfg = load_config("configs/ntusl_20cm.json", max_points=120_000)
+    cfg = load_config(args.config, max_points=120_000)
     det = Detector(cfg)
     variables = det.init_variables(jax.random.PRNGKey(0))
 
@@ -68,7 +75,7 @@ def main() -> None:
     jax.block_until_ready(fn(variables, clouds[0], n))  # compile
 
     # per-call latency, synced every frame, distinct inputs
-    iters = 48
+    iters = args.iters
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
@@ -99,7 +106,7 @@ def main() -> None:
                     "latency_p50_synced_ms": round(p50_ms, 3),
                     "fps_per_chip_pipelined": round(fps, 1),
                     "points": num_real_points,
-                    "config": "ntusl_20cm",
+                    "config": args.config.split("/")[-1].rsplit(".", 1)[0],
                     "baseline": "10ms north-star target (reference publishes no numbers)",
                 },
             }

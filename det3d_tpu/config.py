@@ -251,11 +251,16 @@ def load_config(path: str | Path | dict, **overrides: Any) -> Config:
         entry_s2d=bool(get("entry_s2d", False)),
     )
     cfg = _with_derived(cfg)
-    fms = (
-        tuple(fms_raw)
-        if fms_raw is not None
-        else (cfg.grid_size[0] // 2, cfg.grid_size[1] // 2, 1)
-    )
+    # The feature map is ALWAYS the voxel grid at half resolution: the shared
+    # RPN's overall stride is 2 (entry stride-2 conv; the upsample branches
+    # restore every block to that scale — networks/pointpillars8_shared.py:
+    # 114-181), so anchors must live on grid//2 or they desync from the head.
+    # The JSON field is ignored just as the reference's AnchorAssigner
+    # hard-codes per-class 400x400 maps over whatever the config says
+    # (anchor_assigner.py:226-243) — correct for the 800-grid 20cm config,
+    # stale for the 1600-grid 10cm one, where grid//2 = 800 is the only
+    # geometry the live network can produce.
+    fms = (cfg.grid_size[0] // 2, cfg.grid_size[1] // 2, 1)
     specs = tuple(
         dataclasses.replace(s, feature_map_size=fms) for s in cfg.class_specs
     )

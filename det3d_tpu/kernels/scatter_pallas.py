@@ -4,17 +4,25 @@ TPU-native replacement for the XLA scatter in models/pointpillars.scatter_to_bev
 (counterpart of the reference's per-sample loop / inline CUDA kernel,
 reference: networks/pointpillars8_shared.py:63-111,
 networks/pointpillars8_trt.py:176-193). XLA lowers the 16k-row scatter to a
-serialized per-index update (~1.5 ms/frame incl. the zero-init); here the
-canvas streams out tile by tile at memory bandwidth:
+serialized per-index update (~1.5 ms/frame incl. the zero-init).
+
+Formulation (MXU one-hot scatter — Mosaic has no unaligned per-row dynamic
+stores, so a row-at-a-time copy loop is not expressible):
 
   host-free prep (XLA): flat canvas row per pillar, one small sort of the
-  16k (row, slot) pairs, and a searchsorted for per-tile pillar ranges;
-  kernel: for canvas tile k, zero the VMEM block and copy the (few) pillar
-  rows whose sorted range lands in it — rows are sorted, so each grid step
-  touches a contiguous run of the (V, C) feature table resident in VMEM.
+  16k (row, features) pairs, and a searchsorted for per-tile pillar ranges;
+  kernel: canvas tile k covers rows [k·T, (k+1)·T); its pillars are the
+  contiguous sorted range [starts[k], starts[k+1]). That range is walked in
+  lane-aligned 128-pillar chunks, and each chunk lands via a one-hot
+  matmul on the MXU:  P[r, j] = (rows[chunk_j] == base + r)  (T, 128),
+  canvas_tile += P @ feats[chunk]  — exact, because canvas cells are unique
+  (one pillar per cell), so every output row receives at most one nonzero
+  term and matmul-accumulate never rounds.
 
-The pillar count per tile is data-dependent; the sorted ranges arrive via
-scalar prefetch so the loop bound is a cheap SMEM read.
+Total work ≈ (V/128 + ntiles)·T·128·C MACs ≈ 15 GFLOP for the 800²x64
+canvas — ~0.2 ms of MXU time vs ~1.5 ms for the serialized XLA scatter.
+The chunk starts are multiples of 128 by construction (`pl.multiple_of`),
+which is what makes the dynamic slices legal on TPU.
 """
 
 from __future__ import annotations
@@ -26,23 +34,41 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_CHUNK = 128  # pillar chunk per matmul; = lane width, keeps slices aligned
+
 
 def _canvas_kernel(starts_ref, rows_ref, feats_ref, out_ref, *, tile: int):
-    # starts/rows arrive via scalar prefetch (SMEM): the loop bound and the
-    # per-pillar row index are scalar reads — a VMEM vector load at an
-    # arbitrary lane offset is not expressible on TPU
+    # starts arrives via scalar prefetch (SMEM): chunk loop bounds are cheap
+    # scalar reads; rows live in VMEM as a (1, Vpad) lane vector for the
+    # one-hot compare
     k = pl.program_id(0)
     out_ref[:] = jnp.zeros_like(out_ref)
     lo = starts_ref[k]
     hi = starts_ref[k + 1]
     base = k * tile
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, _CHUNK), 0) + base
 
-    def body(i, _):
-        r = rows_ref[lo + i] - base
-        out_ref[pl.ds(r, 1), :] = feats_ref[pl.ds(lo + i, 1), :]
+    def body(j, _):
+        a = pl.multiple_of(j * _CHUNK, _CHUNK)
+        rchunk = rows_ref[0:1, pl.ds(a, _CHUNK)]        # (1, 128) int32
+        fchunk = feats_ref[pl.ds(a, _CHUNK), :]         # (128, C)
+        onehot = (row_ids == rchunk).astype(fchunk.dtype)
+        hit = jax.lax.dot_general(
+            onehot, fchunk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[:] += hit.astype(out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, hi - lo, body, 0)
+    jax.lax.fori_loop(lo // _CHUNK, (hi + _CHUNK - 1) // _CHUNK, body, 0)
+
+
+def _pick_tile(nrows: int) -> int:
+    for t in (4096, 4000, 3200, 2560, 2048, 2000, 1600, 1024, 1000, 800, 512,
+              500, 400, 256, 200, 128, 100, 64, 40, 32, 25, 16, 8, 5, 4, 2, 1):
+        if nrows % t == 0:
+            return t
+    return 1
 
 
 @functools.partial(jax.jit, static_argnames=("grid_xy", "interpret"))
@@ -55,9 +81,9 @@ def scatter_to_bev_pallas(
     nx, ny = grid_xy
     b, v, c = pillar_features.shape
     nrows = nx * ny
-    # pick a tile that divides the canvas; favor ~4-8k rows per block
-    tile = next(t for t in (5000, 4000, 2500, 2000, 1000, 500, 100, 25, 5, 1) if nrows % t == 0)
+    tile = _pick_tile(nrows)
     ntiles = nrows // tile
+    vpad = ((v + _CHUNK - 1) // _CHUNK) * _CHUNK
 
     def one(feats, crs):
         rows = jnp.where(crs[:, 0] >= 0, crs[:, 0] * ny + crs[:, 1], nrows)
@@ -65,25 +91,29 @@ def scatter_to_bev_pallas(
             (rows.astype(jnp.int32), jnp.arange(v, dtype=jnp.int32)), num_keys=1
         )
         feats_sorted = feats[perm]
+        if vpad != v:
+            rows_sorted = jnp.pad(rows_sorted, (0, vpad - v), constant_values=nrows)
+            feats_sorted = jnp.pad(feats_sorted, ((0, vpad - v), (0, 0)))
         bounds = jnp.arange(ntiles + 1, dtype=jnp.int32) * tile
         starts = jnp.searchsorted(rows_sorted, bounds, side="left").astype(jnp.int32)
 
         canvas = pl.pallas_call(
             functools.partial(_canvas_kernel, tile=tile),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,  # starts (ntiles+1,), rows (V,) → SMEM
+                num_scalar_prefetch=1,  # starts (ntiles+1,) → SMEM
                 grid=(ntiles,),
                 in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.VMEM),  # feats (V, C)
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # rows (1, Vpad)
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # feats (Vpad, C)
                 ],
                 out_specs=pl.BlockSpec(
-                    (tile, c), lambda k, starts, rows: (k, 0),
+                    (tile, c), lambda k, starts: (k, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ),
             out_shape=jax.ShapeDtypeStruct((nrows, c), feats.dtype),
             interpret=interpret,
-        )(starts, rows_sorted, feats_sorted)
+        )(starts, rows_sorted[None, :], feats_sorted)
         return canvas.reshape(nx, ny, c)
 
     return jnp.stack([one(pillar_features[i], coors[i]) for i in range(b)])
