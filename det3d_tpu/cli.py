@@ -26,6 +26,14 @@ from det3d_tpu.config import load_config
 
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="det3d_tpu")
+    ap.add_argument(
+        "--platform",
+        default=None,
+        choices=("cpu", "tpu"),
+        help="force the jax backend before initialization (a JAX_PLATFORMS "
+        "env var cannot override an environment whose site config pins a "
+        "platform; this flag can, as long as no backend has initialized yet)",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     def add_common(p):
@@ -91,6 +99,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--iters", type=int, default=100)
 
     args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     if args.cmd == "create-info":
         from det3d_tpu.data.create_info import create_info

@@ -71,13 +71,46 @@ def _pick_tile(nrows: int) -> int:
     return 1
 
 
-@functools.partial(jax.jit, static_argnames=("grid_xy", "interpret"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def scatter_to_bev_pallas(
     pillar_features: jax.Array,  # (B, V, C)
     coors: jax.Array,            # (B, V, 3) int32, -1 rows dropped
     grid_xy: tuple[int, int],
     interpret: bool = False,
 ) -> jax.Array:                  # (B, nx, ny, C)
+    """Differentiable (custom VJP): the scatter is linear in the features
+    and canvas cells are unique, so the backward pass is the transpose —
+    a per-pillar row gather of the cotangent canvas (pallas_call itself has
+    no autodiff rule; without this, jax.grad through the model dies)."""
+    return _scatter_fwd_impl(pillar_features, coors, grid_xy, interpret)
+
+
+def _scatter_fwd(pillar_features, coors, grid_xy, interpret):
+    out = _scatter_fwd_impl(pillar_features, coors, grid_xy, interpret)
+    return out, coors
+
+
+def _scatter_bwd(grid_xy, interpret, coors, g):
+    nx, ny = grid_xy
+    b, v, _ = coors.shape
+    c = g.shape[-1]
+    g2d = g.reshape(b, nx * ny, c)
+    rows = jnp.where(coors[..., 0] >= 0, coors[..., 0] * ny + coors[..., 1], 0)
+    dfeats = jnp.take_along_axis(g2d, rows[..., None], axis=1)
+    dfeats = jnp.where(coors[..., 0:1] >= 0, dfeats, 0.0)
+    return dfeats, None
+
+
+scatter_to_bev_pallas.defvjp(_scatter_fwd, _scatter_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_xy", "interpret"))
+def _scatter_fwd_impl(
+    pillar_features: jax.Array,
+    coors: jax.Array,
+    grid_xy: tuple[int, int],
+    interpret: bool = False,
+) -> jax.Array:
     nx, ny = grid_xy
     b, v, c = pillar_features.shape
     nrows = nx * ny

@@ -200,3 +200,33 @@ class TestScatterPallas:
         )
         assert got.shape == (1, 8, 8, 4)
         assert (got == 0).all()
+
+    def test_grad_matches_xla_scatter(self):
+        """The custom VJP (training path!) must match XLA's scatter grad."""
+        import jax
+        import jax.numpy as jnp
+
+        from det3d_tpu.kernels.scatter_pallas import scatter_to_bev_pallas
+
+        r = np.random.RandomState(3)
+        b, v, c, nx, ny = 2, 24, 8, 8, 16
+        feats = jnp.asarray(r.randn(b, v, c).astype(np.float32))
+        coors = np.full((b, v, 3), -1, np.int32)
+        for bi in range(b):
+            cells = r.choice(nx * ny, 20, replace=False)
+            coors[bi, :20, 0] = cells // ny
+            coors[bi, :20, 1] = cells % ny
+            coors[bi, :20, 2] = 0
+        coors = jnp.asarray(coors)
+        w = jnp.asarray(r.randn(nx, ny, c).astype(np.float32))
+
+        def loss_pallas(f):
+            cv = scatter_to_bev_pallas(f, coors, (nx, ny), True)
+            return jnp.sum(jnp.tanh(cv) * w)
+
+        def loss_xla(f):
+            return jnp.sum(jnp.tanh(scatter_to_bev(f, coors, (nx, ny))) * w)
+
+        gp = jax.grad(loss_pallas)(feats)
+        gx = jax.grad(loss_xla)(feats)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-6)
