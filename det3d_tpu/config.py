@@ -103,7 +103,10 @@ class Config:
     # ---- framework-level knobs (new; no reference counterpart) ----
     max_points: int = 200_000        # static per-frame point budget (pad-to-max)
     head: str = "shared"             # detection head: "shared" | "multi"
-    entry_s2d: bool = False          # space-to-depth entry conv (measured ~1ms slower: the 5D scatter outweighs the conv gain; kept as an option)
+    pack_w: bool = True              # w-parity packed block0 (column parity folded
+    #                                  into channels so the 64-ch block runs on full
+    #                                  MXU lanes; weight-side only — checkpoints and
+    #                                  the torch transplant are unaffected)
     max_gt_boxes: int = 64           # static per-class gt budget for on-device targets
     compute_dtype: str = "bfloat16"  # conv/matmul compute dtype ("float32" for parity runs)
 
@@ -248,7 +251,7 @@ def load_config(path: str | Path | dict, **overrides: Any) -> Config:
         max_gt_boxes=int(get("max_gt_boxes", 64)),
         compute_dtype=get("compute_dtype", "bfloat16"),
         head=get("head", "shared"),
-        entry_s2d=bool(get("entry_s2d", False)),
+        pack_w=bool(get("pack_w", True)),
     )
     cfg = _with_derived(cfg)
     # The feature map is ALWAYS the voxel grid at half resolution: the shared

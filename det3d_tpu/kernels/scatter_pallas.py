@@ -71,6 +71,136 @@ def _pick_tile(nrows: int) -> int:
     return 1
 
 
+def _canvas_s2d_kernel(starts_ref, rows_ref, phase_ref, feats_ref, out_ref, *, tile: int):
+    """4-phase space-to-depth variant: canvas tile (T, 4C), pillar (r2, p)
+    lands at row r2, lane block p·C — the phase placement happens by widening
+    the feats chunk (masked per-phase copies) before ONE one-hot matmul, the
+    same MAC count as four per-phase matmuls but a single MXU dispatch."""
+    k = pl.program_id(0)
+    out_ref[:] = jnp.zeros_like(out_ref)
+    lo = starts_ref[k]
+    hi = starts_ref[k + 1]
+    base = k * tile
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, _CHUNK), 0) + base
+
+    def body(j, _):
+        a = pl.multiple_of(j * _CHUNK, _CHUNK)
+        rchunk = rows_ref[0:1, pl.ds(a, _CHUNK)]        # (1, 128) int32
+        pchunk = phase_ref[0:1, pl.ds(a, _CHUNK)]       # (1, 128) int32
+        fchunk = feats_ref[pl.ds(a, _CHUNK), :]         # (128, C)
+        wide = jnp.concatenate(
+            [
+                jnp.where(pchunk.T == p, fchunk, jnp.zeros_like(fchunk))
+                for p in (0, 1, 2, 3)
+            ],
+            axis=1,
+        )                                               # (128, 4C)
+        onehot = (row_ids == rchunk).astype(fchunk.dtype)
+        hit = jax.lax.dot_general(
+            onehot, wide, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[:] += hit.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(lo // _CHUNK, (hi + _CHUNK - 1) // _CHUNK, body, 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def scatter_to_bev_s2d_pallas(
+    pillar_features: jax.Array,  # (B, V, C)
+    coors: jax.Array,            # (B, V, 3) int32, -1 rows dropped
+    grid_xy: tuple[int, int],
+    interpret: bool = False,
+) -> jax.Array:                  # (B, nx/2, ny/2, 4C)
+    """Pillar scatter directly into the 4-phase space-to-depth canvas
+    (phase = (x%2)·2 + y%2, channel block phase·C) consumed by the packed
+    entry conv (models/pointpillars.PackedConv kind='entry'). Differentiable
+    like scatter_to_bev_pallas (transpose = per-pillar row/lane gather)."""
+    return _scatter_s2d_fwd_impl(pillar_features, coors, grid_xy, interpret)
+
+
+def _scatter_s2d_fwd(pillar_features, coors, grid_xy, interpret):
+    return _scatter_s2d_fwd_impl(pillar_features, coors, grid_xy, interpret), coors
+
+
+def _scatter_s2d_bwd(grid_xy, interpret, coors, g):
+    nx, ny = grid_xy
+    b, v, _ = coors.shape
+    c = g.shape[-1] // 4
+    g2d = g.reshape(b, (nx // 2) * (ny // 2), 4, c)
+    valid = coors[..., 0] >= 0
+    rows = jnp.where(valid, (coors[..., 0] // 2) * (ny // 2) + coors[..., 1] // 2, 0)
+    phase = jnp.where(valid, (coors[..., 0] % 2) * 2 + coors[..., 1] % 2, 0)
+    flat = rows * 4 + phase
+    g3d = g2d.reshape(b, -1, c)
+    dfeats = jnp.take_along_axis(g3d, flat[..., None], axis=1)
+    return jnp.where(valid[..., None], dfeats, 0.0), None
+
+
+scatter_to_bev_s2d_pallas.defvjp(_scatter_s2d_fwd, _scatter_s2d_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_xy", "interpret"))
+def _scatter_s2d_fwd_impl(
+    pillar_features: jax.Array,
+    coors: jax.Array,
+    grid_xy: tuple[int, int],
+    interpret: bool = False,
+) -> jax.Array:
+    nx, ny = grid_xy
+    assert nx % 2 == 0 and ny % 2 == 0
+    b, v, c = pillar_features.shape
+    nx2, ny2 = nx // 2, ny // 2
+    nrows = nx2 * ny2
+    # the s2d one-hot matmul spends 4C output lanes per chunk — smaller
+    # tiles than the plain scatter keep the per-chunk MAC count down
+    tile = next(t for t in (2000, 1600, 1024, 1000, 800, 512, 500, 400, 256,
+                            200, 128, 100, 64, 40, 32, 25, 16, 8, 5, 4, 2, 1)
+                if nrows % t == 0)
+    ntiles = nrows // tile
+    vpad = ((v + _CHUNK - 1) // _CHUNK) * _CHUNK
+
+    def one(feats, crs):
+        valid = crs[:, 0] >= 0
+        rows = jnp.where(valid, (crs[:, 0] // 2) * ny2 + crs[:, 1] // 2, nrows)
+        phase = jnp.where(valid, (crs[:, 0] % 2) * 2 + crs[:, 1] % 2, 0)
+        rows_sorted, phase_sorted, perm = jax.lax.sort(
+            (rows.astype(jnp.int32), phase.astype(jnp.int32),
+             jnp.arange(v, dtype=jnp.int32)),
+            num_keys=1,
+        )
+        feats_sorted = feats[perm]
+        if vpad != v:
+            rows_sorted = jnp.pad(rows_sorted, (0, vpad - v), constant_values=nrows)
+            phase_sorted = jnp.pad(phase_sorted, (0, vpad - v))
+            feats_sorted = jnp.pad(feats_sorted, ((0, vpad - v), (0, 0)))
+        bounds = jnp.arange(ntiles + 1, dtype=jnp.int32) * tile
+        starts = jnp.searchsorted(rows_sorted, bounds, side="left").astype(jnp.int32)
+
+        canvas = pl.pallas_call(
+            functools.partial(_canvas_s2d_kernel, tile=tile),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(ntiles,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # rows (1, Vpad)
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # phase (1, Vpad)
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # feats (Vpad, C)
+                ],
+                out_specs=pl.BlockSpec(
+                    (tile, 4 * c), lambda k, starts: (k, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+            out_shape=jax.ShapeDtypeStruct((nrows, 4 * c), feats.dtype),
+            interpret=interpret,
+        )(starts, rows_sorted[None, :], phase_sorted[None, :], feats_sorted)
+        return canvas.reshape(nx2, ny2, 4 * c)
+
+    return jnp.stack([one(pillar_features[i], coors[i]) for i in range(b)])
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def scatter_to_bev_pallas(
     pillar_features: jax.Array,  # (B, V, C)

@@ -187,7 +187,7 @@ def scatter_to_bev_s2d(
     return out.reshape(b, nx // 2, ny // 2, 4 * c)
 
 
-def _instance_norm(x: jax.Array, name: str) -> jax.Array:
+def _instance_norm(x: jax.Array, name: str, packed: bool = False) -> jax.Array:
     """InstanceNorm2d, affine=False, eps=1e-3 — matches the RPN's norm layer
     (reference networks/pointpillars8_shared.py:128). Stateless (no params).
 
@@ -196,13 +196,17 @@ def _instance_norm(x: jax.Array, name: str) -> jax.Array:
     dtype. Single-pass variance (E[x²]−E[x]²) is safe at these activation
     magnitudes with the reference's large eps=1e-3.
 
+    `packed=True`: x is a w-parity-packed map (H, W/2, 2C) whose channel j
+    and j+C are the SAME logical channel at even/odd columns — the two
+    half-blocks' statistics merge so the result is bit-comparable to the
+    unpacked InstanceNorm over (H, W, C).
+
     TPU note: the per-channel sums run in a single-pass Pallas kernel
     (kernels/moments_pallas.py). XLA's native column reduce of a (HW, C)
     bf16 map measured ~10x slower than memory bandwidth (1.25 ms for the
     400²x64 entry-IN stats), and a ones-matmul formulation gets
     canonicalized back into that same reduce."""
     b, h, w, c = x.shape
-    n = jnp.array(h * w, jnp.float32)
     if jax.default_backend() == "tpu":
         from det3d_tpu.kernels.moments_pallas import column_moments
 
@@ -213,10 +217,22 @@ def _instance_norm(x: jax.Array, name: str) -> jax.Array:
         xf = x.reshape(b, h * w, c).astype(jnp.float32)
         s1 = jnp.sum(xf, axis=1)
         s2 = jnp.sum(xf * xf, axis=1)
-    mean = (s1 / n)[:, None, None]                    # (b, 1, 1, c)
-    m2 = (s2 / n)[:, None, None]
+    if packed:
+        c2 = c // 2
+        s1 = s1[:, :c2] + s1[:, c2:]
+        s2 = s2[:, :c2] + s2[:, c2:]
+        n = jnp.array(h * w * 2, jnp.float32)
+    else:
+        n = jnp.array(h * w, jnp.float32)
+    mean = s1 / n                                     # (b, c) or (b, c/2)
+    m2 = s2 / n
     var = jnp.maximum(m2 - jnp.square(mean), 0.0)
-    inv = jax.lax.rsqrt(var + 1e-3).astype(x.dtype)
+    inv = jax.lax.rsqrt(var + 1e-3)
+    if packed:
+        mean = jnp.concatenate([mean, mean], axis=-1)
+        inv = jnp.concatenate([inv, inv], axis=-1)
+    mean = mean[:, None, None]
+    inv = inv[:, None, None].astype(x.dtype)
     return (x - mean.astype(x.dtype)) * inv
 
 
@@ -232,6 +248,7 @@ class DeconvUpsample(nn.Module):
     features: int
     stride: int
     compute_dtype: Any = jnp.bfloat16
+    packed_out: bool = False  # emit the w-parity packed layout (H·s, W·s/2, 2O)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -250,6 +267,10 @@ class DeconvUpsample(nn.Module):
         y = x.astype(self.compute_dtype) @ k                 # (b, h, w, s*s*o)
         y = y.reshape(b, h, w, s, s, o)
         y = y.transpose(0, 1, 3, 2, 4, 5)                    # (b, h, s, w, s, o)
+        if self.packed_out:
+            # (w, s_w, o) regrouped as (w·s/2, (s_w%2)·O + o): the same
+            # linear order, so the packed emission is a pure reshape
+            return y.reshape(b, h * s, w * (s // 2), 2 * o)
         return y.reshape(b, h * s, w * s, o)
 
 
@@ -261,78 +282,208 @@ class PreActResidual(nn.Module):
     dim: int
     num_convs: int
     compute_dtype: Any = jnp.bfloat16
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         h = x
         for i in range(self.num_convs):
-            h = _instance_norm(h, f"in{i}")
+            h = _instance_norm(h, f"in{i}", packed=self.packed)
             h = nn.relu(h)
-            h = nn.Conv(
-                self.dim, (3, 3), padding=_PAD_S1, use_bias=False,
-                dtype=self.compute_dtype, name=f"conv{i}",
-            )(h)
+            if self.packed:
+                h = PackedConv(
+                    self.dim, self.dim, "res", self.compute_dtype, name=f"conv{i}"
+                )(h)
+            else:
+                h = nn.Conv(
+                    self.dim, (3, 3), padding=_PAD_S1, use_bias=False,
+                    dtype=self.compute_dtype, name=f"conv{i}",
+                )(h)
         return x + h
 
 
-class EntryS2DConv(nn.Module):
-    """The stride-2 3x3 entry conv, folded onto a space-to-depth input.
+# --- w-parity packed block0 -------------------------------------------------
+#
+# The RPN's first block runs C=64 at 400²-800² spatial: half-empty MXU lanes
+# and lane-padded bf16 maps made it the slowest part of the network (measured
+# 8-24 TF/s vs 99-126 for the 128/256-channel blocks — tools/conv_study.py).
+# Packing the column parity into channels — map (H, W, C) stored as
+# (H, W/2, 2C) with channel p·C+c holding column 2w+p — fills the lanes:
+# every block0 conv becomes a 128-channel conv whose kernel is the original
+# (3,3,C,O) parameter's taps rearranged with structured zeros (1.3-2x the
+# MACs at ~4x the throughput). Parameters keep their reference shapes; the
+# packing is pure weight-side construction, so checkpoints and the torch
+# weights-transplant stay compatible.
+#
+# Index algebra (column axis; rows are never packed except at the s2d entry):
+#   packed input col  w2+s-Δ, parity pi  ↔ original col 2(w2+s-Δ)+pi
+#   packed output col w2,     parity po  ↔ original col 2·w2+po
+# A tap of the original 3x3 kernel at offset dj contributes to packed kernel
+# position (s, pi·C, po·O) iff dj = 2(s-Δ)+pi-po lands in [-1, 1].
 
-    A stride-2 conv reads disjoint 2x2 phases of the input, so on a canvas
-    stored as (H/2, W/2, 4C) space-to-depth (phase channel = (x%2)*2 + y%2)
-    it is exactly a stride-1 2x2 conv whose (2,2,4C,O) kernel is the 3x3
-    kernel's taps rearranged (one phase cell unused → zero taps). C=64 at
-    800x800 fills half the MXU lanes; 4C=256 at 400x400 fills them all.
-    The parameter keeps the nn.Conv (3,3,C,O) shape/init: checkpoints are
-    interchangeable with the plain conv."""
+
+def _pack_entry_kernel(w: jax.Array) -> jax.Array:
+    """(3,3,C,O) stride-2 entry kernel → (2,3,4C,2O) on the s2d canvas.
+
+    Input is the 4-phase space-to-depth canvas (H/2, W/2, 4C), channel
+    (a·2+b)·C+c = original cell (2h+a, 2w+b); output is the w-parity packed
+    block0 map (H/2, W/4, 2O). Row taps: di = 2(r-1)+a; col taps:
+    dj = 2(s-1)+b-2p (strides (1,2), padding ((1,0),(1,0)))."""
+    c, o = w.shape[2], w.shape[3]
+    zeros = jnp.zeros((c, o), w.dtype)
+
+    def tap(di, dj):
+        return w[di + 1, dj + 1] if -1 <= di <= 1 and -1 <= dj <= 1 else zeros
+
+    return jnp.stack(
+        [
+            jnp.stack(
+                [
+                    jnp.concatenate(
+                        [
+                            jnp.concatenate(
+                                [tap(2 * (r - 1) + a, 2 * (s - 1) + b - 2 * p) for p in (0, 1)],
+                                axis=1,
+                            )
+                            for a in (0, 1)
+                            for b in (0, 1)
+                        ],
+                        axis=0,
+                    )
+                    for s in (0, 1, 2)
+                ],
+                axis=0,
+            )
+            for r in (0, 1)
+        ],
+        axis=0,
+    )
+
+
+def _pack_res_kernel(w: jax.Array) -> jax.Array:
+    """(3,3,C,O) stride-1 kernel → (3,3,2C,2O) packed→packed.
+    Col taps: dj = 2(s-1)+pi-po (strides (1,1), padding ((1,1),(1,1)))."""
+    c, o = w.shape[2], w.shape[3]
+    zeros = jnp.zeros((c, o), w.dtype)
+
+    def tap(r, dj):
+        return w[r, dj + 1] if -1 <= dj <= 1 else zeros
+
+    return jnp.stack(
+        [
+            jnp.stack(
+                [
+                    jnp.concatenate(
+                        [
+                            jnp.concatenate(
+                                [tap(r, 2 * (s - 1) + pi - po) for po in (0, 1)], axis=1
+                            )
+                            for pi in (0, 1)
+                        ],
+                        axis=0,
+                    )
+                    for s in (0, 1, 2)
+                ],
+                axis=0,
+            )
+            for r in (0, 1, 2)
+        ],
+        axis=0,
+    )
+
+
+def _pack_down_kernel(w: jax.Array) -> jax.Array:
+    """(3,3,C,O) stride-2 kernel → (3,2,2C,O), packed input → STANDARD
+    output (the next block is ≥128 channels and needs no packing).
+    Col taps: dj = 2(s-1)+pi (strides (2,1), padding ((1,0),(1,0)))."""
+    c, o = w.shape[2], w.shape[3]
+    zeros = jnp.zeros((c, o), w.dtype)
+
+    def tap(r, dj):
+        return w[r, dj + 1] if -1 <= dj <= 1 else zeros
+
+    return jnp.stack(
+        [
+            jnp.stack(
+                [
+                    jnp.concatenate([tap(r, 2 * (s - 1) + pi) for pi in (0, 1)], axis=0)
+                    for s in (0, 1)
+                ],
+                axis=0,
+            )
+            for r in (0, 1, 2)
+        ],
+        axis=0,
+    )
+
+
+class PackedConv(nn.Module):
+    """A block0 conv on w-parity packed maps. Holds the reference-shaped
+    (3,3,C,O) parameter (checkpoint/transplant compatible with nn.Conv) and
+    applies the packed rearrangement at trace time.
+
+    kind: 'entry' (s2d canvas → packed), 'res' (packed → packed),
+          'down' (packed → standard)."""
+
+    features: int
+    in_channels: int
+    kind: str
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, self.in_channels, self.features),
+            jnp.float32,
+        )
+        pack, strides, pad = {
+            "entry": (_pack_entry_kernel, (1, 2), ((1, 0), (1, 0))),
+            "res": (_pack_res_kernel, (1, 1), ((1, 1), (1, 1))),
+            "down": (_pack_down_kernel, (2, 1), ((1, 0), (1, 0))),
+        }[self.kind]
+        return jax.lax.conv_general_dilated(
+            x.astype(self.compute_dtype),
+            pack(w).astype(self.compute_dtype),
+            window_strides=strides,
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+class PackedPointwise(nn.Module):
+    """1x1 conv on a packed map: block-diagonal (2C, 2O) kernel from the
+    reference-shaped (1,1,C,O) parameter (parities never mix in a 1x1)."""
 
     features: int
     in_channels: int
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, z: jax.Array) -> jax.Array:  # z: (B, H/2, W/2, 4C)
-        c, o = self.in_channels, self.features
+    def __call__(self, x: jax.Array) -> jax.Array:
         w = self.param(
             "kernel",
-            nn.initializers.lecun_normal(batch_axis=(), in_axis=(0, 1, 2), out_axis=3),
-            (3, 3, c, o),
+            nn.initializers.lecun_normal(),
+            (1, 1, self.in_channels, self.features),
             jnp.float32,
         )
-        # K[p, q, (a*2+b)*C + c, o] = W[2p+a-1, 2q+b-1, c, o] (zero when the
-        # tap index leaves [0, 2]; torch pad (1,0) makes out(i) read rows
-        # {2i-1, 2i, 2i+1} = phases (p=0,a=1), (p=1,a=0), (p=1,a=1))
-        wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))  # index di+1+1 = di+2... see below
-        # wp[r, s] = W[r-1, s-1] with zeros at r==0/s==0; tap row index into
-        # wp is (2p+a-1)+1 = 2p+a, valid ∈ [0, 3] with wp row 0 == zero pad
-        k = jnp.stack(
+        zeros = jnp.zeros_like(w[0, 0])
+        k = jnp.concatenate(
             [
-                jnp.stack(
-                    [
-                        jnp.concatenate(
-                            [
-                                jnp.concatenate(
-                                    [wp[2 * p + a, 2 * q + b] for b in (0, 1)], axis=0
-                                )
-                                for a in (0, 1)
-                            ],
-                            axis=0,
-                        )
-                        for q in (0, 1)
-                    ],
-                    axis=0,
-                )
-                for p in (0, 1)
+                jnp.concatenate([w[0, 0], zeros], axis=1),
+                jnp.concatenate([zeros, w[0, 0]], axis=1),
             ],
             axis=0,
-        )  # (2, 2, 4C, O)
-        return jax.lax.conv_general_dilated(
-            z.astype(self.compute_dtype),
+        )[None, None]
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.compute_dtype),
             k.astype(self.compute_dtype),
             window_strides=(1, 1),
-            padding=((1, 0), (1, 0)),
+            padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+        return y
 
 
 class RPN(nn.Module):
@@ -346,7 +497,8 @@ class RPN(nn.Module):
     num_filters: tuple[int, ...] = (64, 128, 256)
     upsample_strides: tuple[int, ...] = (1, 2, 4)
     num_upsample_filters: tuple[int, ...] = (64, 128, 128)
-    entry_s2d: bool = False  # input is space-to-depth (B, H/2, W/2, 4C)
+    pack_w: bool = False  # input is the s2d canvas (B, H/2, W/2, 4C); block0
+    #                       and the upsample branches run w-parity packed
 
     @property
     def out_channels(self) -> int:
@@ -358,35 +510,63 @@ class RPN(nn.Module):
         for b, (depth, width, up_stride, up_width) in enumerate(
             zip(self.layer_nums, self.num_filters, self.upsample_strides, self.num_upsample_filters)
         ):
-            if b == 0 and self.entry_s2d:
-                x = EntryS2DConv(
-                    width, x.shape[-1] // 4, self.compute_dtype, name="block0_down"
+            packed = self.pack_w and b == 0
+            if b == 0 and self.pack_w:
+                x = PackedConv(
+                    width, x.shape[-1] // 4, "entry", self.compute_dtype,
+                    name="block0_down",
+                )(x)
+            elif b == 1 and self.pack_w:
+                x = PackedConv(
+                    width, x.shape[-1] // 2, "down", self.compute_dtype,
+                    name="block1_down",
                 )(x)
             else:
                 x = nn.Conv(
                     width, (3, 3), strides=(2, 2), padding=_PAD_S2, use_bias=False,
                     dtype=self.compute_dtype, name=f"block{b}_down",
                 )(x)
-            x = _instance_norm(x, f"block{b}_in")
+            x = _instance_norm(x, f"block{b}_in", packed=packed)
             x = nn.relu(x)
             # depth 2 → residual units with [2, 1] convs; depth 4 → [2, 2, 1]
             # (reference builds Resnet2(…,1) x (depth//2) then Resnet2(…,0))
             convs_per_unit = [2] * (depth // 2) + [1]
             for u, ncv in enumerate(convs_per_unit):
-                x = PreActResidual(width, ncv, self.compute_dtype, name=f"block{b}_res{u}")(x)
+                x = PreActResidual(
+                    width, ncv, self.compute_dtype, packed=packed,
+                    name=f"block{b}_res{u}",
+                )(x)
 
             u = x
             if up_stride > 1:
                 u = DeconvUpsample(
-                    up_width, up_stride, self.compute_dtype, name=f"deconv{b}"
+                    up_width, up_stride, self.compute_dtype,
+                    packed_out=self.pack_w, name=f"deconv{b}",
+                )(u)
+            elif self.pack_w:
+                u = PackedPointwise(
+                    up_width, width, self.compute_dtype, name=f"deconv{b}"
                 )(u)
             else:
                 u = nn.Conv(
                     up_width, (1, 1), use_bias=False, dtype=self.compute_dtype,
                     name=f"deconv{b}",
                 )(u)
-            u = _instance_norm(u, f"deconv{b}_in")
+            u = _instance_norm(u, f"deconv{b}_in", packed=self.pack_w)
             ups.append(nn.relu(u))
+        if self.pack_w:
+            # parity-outer concat + reshape: out[h, 2·w2+p, :] must be the
+            # per-original-column 320 channels, so slice each branch's parity
+            # block, concatenate p-major, and merge (w2, p) — the concat's
+            # data movement performs the unpack; no extra relayout exists
+            n, hh, w2, _ = ups[0].shape
+            parts = [
+                u[..., p * bw : (p + 1) * bw]
+                for p in (0, 1)
+                for u, bw in zip(ups, self.num_upsample_filters)
+            ]
+            cat = jnp.concatenate(parts, axis=-1)      # (B, H, W/2, 2·320)
+            return cat.reshape(n, hh, w2 * 2, self.out_channels)
         return jnp.concatenate(ups, axis=-1)
 
 
@@ -533,23 +713,29 @@ class PointPillars(nn.Module):
             name="pfn",
         )(voxels, num_points, coors, train)
         grid_xy = (self.cfg.grid_size[0], self.cfg.grid_size[1])
-        s2d = (
-            getattr(self.cfg, "entry_s2d", False)
+        pack = (
+            getattr(self.cfg, "pack_w", True)
             and grid_xy[0] % 2 == 0
-            and grid_xy[1] % 2 == 0
+            and grid_xy[1] % 4 == 0
         )
-        if s2d:
-            canvas = scatter_to_bev_s2d(pillar_features, coors, grid_xy)
-        elif jax.default_backend() == "tpu":
-            # XLA lowers the 16k-row scatter to a serialized per-index
-            # update (~1.5 ms/frame); the Pallas builder streams the canvas
-            # at memory bandwidth (kernels/scatter_pallas.py)
+        on_tpu = jax.default_backend() == "tpu"
+        # the XLA 16k-row scatter lowers to a serialized per-index update
+        # (~1.5 ms/frame); the Pallas builders stream the canvas as one-hot
+        # MXU matmuls (kernels/scatter_pallas.py)
+        if pack:
+            if on_tpu:
+                from det3d_tpu.kernels.scatter_pallas import scatter_to_bev_s2d_pallas
+
+                canvas = scatter_to_bev_s2d_pallas(pillar_features, coors, grid_xy)
+            else:
+                canvas = scatter_to_bev_s2d(pillar_features, coors, grid_xy)
+        elif on_tpu:
             from det3d_tpu.kernels.scatter_pallas import scatter_to_bev_pallas
 
             canvas = scatter_to_bev_pallas(pillar_features, coors, grid_xy)
         else:
             canvas = scatter_to_bev(pillar_features, coors, grid_xy)
-        rpn_features = RPN(compute_dtype=dtype, entry_s2d=s2d, name="rpn")(canvas)
+        rpn_features = RPN(compute_dtype=dtype, pack_w=pack, name="rpn")(canvas)
         if getattr(self.cfg, "head", "shared") == "multi":
             return MultiHead(
                 anchors_per_class=tuple(

@@ -3,7 +3,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from det3d_tpu.anchors import build_anchors
-from det3d_tpu.models.pointpillars import PFN, RPN, SharedHead, scatter_to_bev
+from det3d_tpu.models.pointpillars import (
+    PFN,
+    RPN,
+    SharedHead,
+    scatter_to_bev,
+    scatter_to_bev_s2d,
+)
 from det3d_tpu.pipeline import Detector
 from helpers import small_cfg, random_cloud
 
@@ -133,25 +139,29 @@ class TestMultiHead:
         assert "name" in annos
 
 
-class TestEntryS2D:
-    def test_s2d_entry_matches_plain_conv_pipeline(self):
-        """Same params → (numerically) same predictions whether the canvas
-        is dense + stride-2 conv or space-to-depth + folded 2x2 conv."""
+class TestPackedBlock0:
+    def test_packed_matches_plain_conv_pipeline(self):
+        """Same params → (numerically) same predictions whether block0 runs
+        on the dense canvas or w-parity packed (s2d canvas + rearranged
+        kernels with structured zeros). The packing is weight-side only, so
+        one parameter tree drives both."""
         import jax
+        import jax.numpy as jnp
         import numpy as np
 
         from det3d_tpu.pipeline import Detector
         from helpers import small_cfg, random_cloud
 
-        cfg_plain = small_cfg().replace(entry_s2d=False)
-        cfg_s2d = small_cfg().replace(entry_s2d=True)
+        cfg_plain = small_cfg().replace(pack_w=False)
+        cfg_pack = small_cfg().replace(pack_w=True)
         det_p = Detector(cfg_plain)
-        det_s = Detector(cfg_s2d)
+        det_s = Detector(cfg_pack)
         v = det_p.init_variables(jax.random.PRNGKey(0))  # same tree for both
+        chex = jax.tree.map(lambda a, b: a.shape == b.shape, v,
+                            det_s.init_variables(jax.random.PRNGKey(0)))
+        assert all(jax.tree.leaves(chex)), "param trees must be identical"
 
         pts, n = det_p.pad_points(random_cloud(220, seed=5))
-        import jax.numpy as jnp
-
         frame, mask = det_p.preprocess(jnp.asarray(pts), jnp.asarray(n))
         args = (frame.voxels[None], frame.num_points_per_voxel[None], frame.coors[None])
         out_p = det_p.model.apply(v, *args, train=False)
@@ -160,6 +170,42 @@ class TestEntryS2D:
             np.testing.assert_allclose(
                 np.asarray(out_p[k]), np.asarray(out_s[k]), atol=2e-4,
                 err_msg=k,
+            )
+
+    def test_packed_grad_matches_plain(self):
+        """Training must see the same function: grads through the packed
+        RPN match the plain RPN's for the same parameters."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from det3d_tpu.pipeline import Detector
+        from helpers import small_cfg, random_cloud
+
+        det_p = Detector(small_cfg().replace(pack_w=False))
+        det_s = Detector(small_cfg().replace(pack_w=True))
+        v = det_p.init_variables(jax.random.PRNGKey(1))
+        pts, n = det_p.pad_points(random_cloud(180, seed=7))
+        frame, _ = det_p.preprocess(jnp.asarray(pts), jnp.asarray(n))
+        args = (frame.voxels[None], frame.num_points_per_voxel[None], frame.coors[None])
+
+        def loss(det):
+            def f(params):
+                out = det.model.apply(
+                    {"params": params, **{k: v[k] for k in v if k != "params"}},
+                    *args, train=False,
+                )
+                return sum(jnp.sum(jnp.tanh(o)) for o in out.values())
+            return f
+
+        gp = jax.grad(loss(det_p))(v["params"])
+        gs = jax.grad(loss(det_s))(v["params"])
+        flat_p, _ = jax.tree.flatten(gp)
+        flat_s, _ = jax.tree.flatten(gs)
+        for a, b in zip(flat_p, flat_s):
+            # differently-associated f32 sums: ~1e-5 relative noise is expected
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-3
             )
 
 
@@ -200,6 +246,58 @@ class TestScatterPallas:
         )
         assert got.shape == (1, 8, 8, 4)
         assert (got == 0).all()
+
+    def test_s2d_matches_xla_s2d_scatter(self):
+        """Pallas s2d canvas builder (interpret) vs the XLA s2d scatter."""
+        import jax.numpy as jnp
+
+        from det3d_tpu.kernels.scatter_pallas import scatter_to_bev_s2d_pallas
+
+        r = np.random.RandomState(1)
+        b, v, c, nx, ny = 2, 41, 8, 12, 20
+        feats = r.randn(b, v, c).astype(np.float32)
+        coors = np.full((b, v, 3), -1, np.int32)
+        for bi in range(b):
+            cells = r.choice(nx * ny, 30, replace=False)
+            coors[bi, :30, 0] = cells // ny
+            coors[bi, :30, 1] = cells % ny
+            coors[bi, :30, 2] = 0
+        ref = np.asarray(
+            scatter_to_bev_s2d(jnp.asarray(feats), jnp.asarray(coors), (nx, ny))
+        )
+        got = np.asarray(
+            scatter_to_bev_s2d_pallas(
+                jnp.asarray(feats), jnp.asarray(coors), (nx, ny), True
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+
+    def test_s2d_grad_matches_xla(self):
+        import jax
+        import jax.numpy as jnp
+
+        from det3d_tpu.kernels.scatter_pallas import scatter_to_bev_s2d_pallas
+
+        r = np.random.RandomState(5)
+        b, v, c, nx, ny = 1, 16, 4, 8, 8
+        feats = jnp.asarray(r.randn(b, v, c).astype(np.float32))
+        coors = np.full((b, v, 3), -1, np.int32)
+        cells = r.choice(nx * ny, 12, replace=False)
+        coors[0, :12, 0] = cells // ny
+        coors[0, :12, 1] = cells % ny
+        coors[0, :12, 2] = 0
+        coors = jnp.asarray(coors)
+        w = jnp.asarray(r.randn(nx // 2, ny // 2, 4 * c).astype(np.float32))
+
+        gp = jax.grad(
+            lambda f: jnp.sum(
+                jnp.tanh(scatter_to_bev_s2d_pallas(f, coors, (nx, ny), True)) * w
+            )
+        )(feats)
+        gx = jax.grad(
+            lambda f: jnp.sum(jnp.tanh(scatter_to_bev_s2d(f, coors, (nx, ny))) * w)
+        )(feats)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-6)
 
     def test_grad_matches_xla_scatter(self):
         """The custom VJP (training path!) must match XLA's scatter grad."""

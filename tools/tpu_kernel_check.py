@@ -45,6 +45,20 @@ def main() -> None:
     np.testing.assert_array_equal(got.reshape(nx * ny, c), want)
     print("scatter_to_bev_pallas: OK")
 
+    # --- s2d variant (packed block0 entry path) ------------------------------
+    from det3d_tpu.kernels.scatter_pallas import scatter_to_bev_s2d_pallas
+
+    out = scatter_to_bev_s2d_pallas(feats, jnp.asarray(coors), (nx, ny))
+    out.block_until_ready()
+    got = np.asarray(out[0], np.float32).reshape((nx // 2) * (ny // 2), 4, c)
+    want = np.zeros(((nx // 2) * (ny // 2), 4, c), np.float32)
+    cx, cy = cells // ny, cells % ny
+    want[(cx // 2) * (ny // 2) + cy // 2, (cx % 2) * 2 + cy % 2] = np.asarray(
+        feats[0, :12000], np.float32
+    )
+    np.testing.assert_array_equal(got, want)
+    print("scatter_to_bev_s2d_pallas: OK")
+
     # --- column_moments at the entry-IN shape --------------------------------
     from det3d_tpu.kernels.moments_pallas import column_moments
 
