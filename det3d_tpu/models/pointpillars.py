@@ -201,22 +201,18 @@ def _instance_norm(x: jax.Array, name: str, packed: bool = False) -> jax.Array:
     half-blocks' statistics merge so the result is bit-comparable to the
     unpacked InstanceNorm over (H, W, C).
 
-    TPU note: the per-channel sums run in a single-pass Pallas kernel
-    (kernels/moments_pallas.py). XLA's native column reduce of a (HW, C)
-    bf16 map measured ~10x slower than memory bandwidth (1.25 ms for the
-    400²x64 entry-IN stats), and a ones-matmul formulation gets
-    canonicalized back into that same reduce."""
+    TPU note: the stats are plain XLA sums ON PURPOSE. XLA multi-output-
+    fuses them into the PRODUCING conv's epilogue, so they cost ~nothing; a
+    Pallas moments kernel here (tried in round 2) forces the activation map
+    through HBM again and breaks that fusion — the surrounding convs dropped
+    from ~100 to ~34 TF/s (tools/conv_fusion_study.py chain_study). The
+    round-1 "column reduce is 10x off bandwidth" measurement that motivated
+    the kernel was an UNFUSED reduce over a half-lane C=64 map — both
+    conditions the packed layout has since removed."""
     b, h, w, c = x.shape
-    if jax.default_backend() == "tpu":
-        from det3d_tpu.kernels.moments_pallas import column_moments
-
-        moments = [column_moments(x[i].reshape(h * w, c)) for i in range(b)]
-        s1 = jnp.stack([m[0] for m in moments])       # (b, c)
-        s2 = jnp.stack([m[1] for m in moments])
-    else:
-        xf = x.reshape(b, h * w, c).astype(jnp.float32)
-        s1 = jnp.sum(xf, axis=1)
-        s2 = jnp.sum(xf * xf, axis=1)
+    xf = x.reshape(b, h * w, c).astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=1)
+    s2 = jnp.sum(xf * xf, axis=1)
     if packed:
         c2 = c // 2
         s1 = s1[:, :c2] + s1[:, c2:]

@@ -59,17 +59,6 @@ def main() -> None:
     np.testing.assert_array_equal(got, want)
     print("scatter_to_bev_s2d_pallas: OK")
 
-    # --- column_moments at the entry-IN shape --------------------------------
-    from det3d_tpu.kernels.moments_pallas import column_moments
-
-    x = jnp.asarray(r.randn(400 * 400, 64), jnp.bfloat16)
-    s1, s2 = column_moments(x)
-    jax.block_until_ready((s1, s2))
-    xf = np.asarray(x, np.float32)
-    np.testing.assert_allclose(np.asarray(s1), xf.sum(0), rtol=2e-3, atol=2.0)
-    np.testing.assert_allclose(np.asarray(s2), (xf * xf).sum(0), rtol=2e-3, atol=2.0)
-    print("column_moments: OK")
-
     # --- assign_class_pallas at the vehicle-class production shape -----------
     from det3d_tpu.kernels.matcher_pallas import assign_class_pallas
     from det3d_tpu import targets as tg
