@@ -70,6 +70,19 @@ class Detector:
 
     def infer(self, variables: Any, points: jax.Array, num_points: jax.Array) -> Detections:
         """Single-frame, end-to-end: points (max_points, C) → Detections."""
+        return self.postprocess.finalize_stage(
+            self.infer_candidates(variables, points, num_points)
+        )
+
+    def infer_candidates(self, variables: Any, points: jax.Array, num_points: jax.Array):
+        """Everything before NMS: voxelize → model → decode → standup boxes.
+
+        Kept custom-call-free on the conv-consumer chain: a custom call
+        anywhere downstream of the RPN (approx_max_k, the Pallas NMS)
+        structurally disables XLA's space-to-batch conv transform and slows
+        every convolution ~3x (measured via HLO bisection — estimated conv
+        cycles 3.1M vs 6.0M). The NMS stage therefore runs as a second
+        dispatch (see infer_jit); stage-boundary tensors are ~3x1000 rows."""
         frame, anchors_mask = self.preprocess(points, num_points)
         preds = self.model.apply(
             variables,
@@ -79,11 +92,24 @@ class Detector:
             train=False,
         )
         preds = {k: v[0] for k, v in preds.items()}
-        return self.postprocess(preds, anchors_mask)
+        return self.postprocess.decode_stage(preds, anchors_mask)
 
     @functools.cached_property
     def infer_jit(self):
-        return jax.jit(self.infer)
+        """Compiled points → Detections.
+
+        On TPU this is TWO chained device dispatches (candidates | NMS) —
+        see infer_candidates for why; results stay on device between stages
+        so a pipelined loop pays only device time. Elsewhere it is one jit."""
+        if jax.default_backend() != "tpu":
+            return jax.jit(self.infer)
+        stage1 = jax.jit(self.infer_candidates)
+        stage2 = jax.jit(self.postprocess.finalize_stage)
+
+        def two_stage(variables, points, num_points):
+            return stage2(stage1(variables, points, num_points))
+
+        return two_stage
 
     # -- host conveniences -------------------------------------------------
     def pad_points(self, points: np.ndarray) -> tuple[np.ndarray, np.int32]:

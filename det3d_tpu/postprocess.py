@@ -63,14 +63,39 @@ class PostProcessParams(NamedTuple):
     approx_recall_target: float = 0.95
 
 
+def _bucketed_topk(scores: jax.Array, k: int):
+    """Approximate top-k from primitive ops: bucket the scores, take each
+    bucket's max/argmax (a plain reduce), then EXACT top-k over the bucket
+    maxima. Same algorithm family as `lax.approx_max_k`, but built from
+    reshape+reduce+sort — which matters: the ApproxTopK custom call
+    structurally blocks XLA's space-to-batch conv transform for every conv
+    upstream of it (~3x on the whole RPN; measured via HLO bisection —
+    estimated conv cycles 3.1M with reduces/sorts as the consumer vs 5.7M
+    the moment an approx_max_k consumes the predictions).
+
+    Expected recall vs exact top-k ≈ 1 - k/(2B) (collision loss with B
+    buckets); B ≈ 16·k gives ~97%, above approx_max_k's 0.95 default."""
+    (n,) = scores.shape
+    target_b = 16 * k
+    bsz = max(1, n // target_b)
+    while n % bsz != 0:
+        bsz -= 1
+    b = n // bsz
+    if b <= k:  # degenerate: bucketing can't help
+        return jax.lax.top_k(scores, k)
+    s2 = scores.reshape(b, bsz)
+    bmax = jnp.max(s2, axis=1)
+    barg = jnp.argmax(s2, axis=1).astype(jnp.int32)
+    top, bidx = jax.lax.top_k(bmax, k)
+    return top, bidx * bsz + barg[bidx]
+
+
 def _topk(scores: jax.Array, k: int, params: PostProcessParams):
     approx = params.approx_topk
     if approx is None:
         approx = jax.default_backend() == "tpu"
     if approx and k < scores.shape[-1]:
-        return jax.lax.approx_max_k(
-            scores, k, recall_target=params.approx_recall_target
-        )
+        return _bucketed_topk(scores, k)
     return jax.lax.top_k(scores, k)
 
 
@@ -93,7 +118,7 @@ except Exception:  # pragma: no cover - older jax without namedtuple serializati
     pass
 
 
-def _postprocess_one_class(
+def _decode_one_class(
     masked_scores: jax.Array,  # (Ac,) f32, gated scores (-1 where excluded)
     global_idx_fn,             # class-flat idx -> row into the global tensors
     box_all_t: jax.Array,      # (7, A_total) global, channel-major
@@ -101,7 +126,12 @@ def _postprocess_one_class(
     anchors: jax.Array,        # (Ac, 7) per-class contiguous constant
     center_limit: jax.Array,   # (6,)
     params: PostProcessParams,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+):
+    """Stage 1 of the per-class tail: top-k → decode → dir flip → standup
+    boxes + range mask. Built ONLY from ops XLA's space-to-batch converter
+    tolerates as transitive consumers of the conv stack — any custom call
+    here (approx_max_k, the Pallas NMS) disables the transform and slows
+    every upstream conv ~3x, which is why NMS lives in a separate stage."""
     # clamp to the class's (static) anchor count — small classes can have
     # fewer anchors than nms_pre_max_size
     k = min(params.nms_pre_max_size, masked_scores.shape[0])
@@ -125,12 +155,8 @@ def _postprocess_one_class(
     )
     standup = geometry.corner_to_standup(corners)                      # (k, 4)
 
-    keep = _nms_fn()(
-        standup, valid, params.nms_iou_threshold, params.nms_post_max_size
-    )
-
     # direction flip: +π where the dir classifier disagrees with sign(yaw)
-    # (reference framework/inference.py:101-104)
+    # (reference framework/inference.py:101-104; independent of NMS)
     opp = (boxes[:, 6] > 0) ^ dir_labels
     yaw = boxes[:, 6] + jnp.where(opp, np.pi, 0.0)
     boxes = boxes.at[:, 6].set(
@@ -141,7 +167,23 @@ def _postprocess_one_class(
     # (reference framework/inference.py:106-109 compares dims to limit[3:])
     min_mask = jnp.any(boxes[:, :3] > center_limit[:3], axis=1)
     max_mask = jnp.any(boxes[:, 3:6] < center_limit[3:], axis=1)
-    keep = keep & min_mask & max_mask
+    range_ok = min_mask & max_mask
+    return boxes, top_scores, standup, valid, range_ok
+
+
+def _finalize_one_class(
+    boxes: jax.Array,       # (k, 7) decoded, dir-flipped
+    top_scores: jax.Array,  # (k,)
+    standup: jax.Array,     # (k, 4)
+    valid: jax.Array,       # (k,) bool
+    range_ok: jax.Array,    # (k,) bool
+    params: PostProcessParams,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Stage 2: NMS + compaction (the custom-call zone)."""
+    keep = _nms_fn()(
+        standup, valid, params.nms_iou_threshold, params.nms_post_max_size
+    )
+    keep = keep & range_ok
 
     # compact the ≤ post_max kept boxes into a fixed (post_max, ...) block,
     # preserving score order (dropped rows use a positive OOB sentinel:
@@ -167,7 +209,9 @@ def make_postprocessor(cfg: Config, anchor_set: AnchorSet, params: PostProcessPa
 
     hw = int(np.prod(cfg.feature_map_size))
 
-    def postprocess(preds: dict[str, jax.Array], anchors_mask: jax.Array) -> Detections:
+    def decode_stage(preds: dict[str, jax.Array], anchors_mask: jax.Array):
+        """Everything before NMS: custom-call-free (see _decode_one_class).
+        Returns per-class stacked candidate tuples (small: ~3x1000 rows)."""
         # preds are single-frame channel-major (k, A) in the anchor-major
         # flat order: per-class anchors are CONTIGUOUS row ranges, so class
         # slicing is free and class-flat → global index is `idx + c0·hw`
@@ -182,16 +226,25 @@ def make_postprocessor(cfg: Config, anchor_set: AnchorSet, params: PostProcessPa
         box_all_t = preds["box_preds"].reshape(cfg.box_code_size, -1)
         dir_all_t = preds["dir_preds"].reshape(2, -1)
 
-        boxes_l, scores_l, valid_l = [], [], []
+        out = []
         for (c0, c1), anchors in zip(channels, class_anchors):
             def gidx_fn(idx, c0=c0):
                 return idx + c0 * hw
 
-            bx, sc, va = _postprocess_one_class(
-                gated_all[c0 * hw : c1 * hw],
-                gidx_fn, box_all_t, dir_all_t,
-                anchors, center_limit, params,
+            out.append(
+                _decode_one_class(
+                    gated_all[c0 * hw : c1 * hw],
+                    gidx_fn, box_all_t, dir_all_t,
+                    anchors, center_limit, params,
+                )
             )
+        return out
+
+    def finalize_stage(candidates) -> Detections:
+        """NMS + compaction per class (the custom-call zone)."""
+        boxes_l, scores_l, valid_l = [], [], []
+        for cand in candidates:
+            bx, sc, va = _finalize_one_class(*cand, params)
             boxes_l.append(bx)
             scores_l.append(sc)
             valid_l.append(va)
@@ -199,6 +252,11 @@ def make_postprocessor(cfg: Config, anchor_set: AnchorSet, params: PostProcessPa
             boxes=jnp.stack(boxes_l), scores=jnp.stack(scores_l), valid=jnp.stack(valid_l)
         )
 
+    def postprocess(preds: dict[str, jax.Array], anchors_mask: jax.Array) -> Detections:
+        return finalize_stage(decode_stage(preds, anchors_mask))
+
+    postprocess.decode_stage = decode_stage
+    postprocess.finalize_stage = finalize_stage
     return postprocess
 
 

@@ -171,3 +171,124 @@ def chain_study(reps=16):
 
 if __name__ == "__main__" and os.environ.get("CHAIN"):
     chain_study()
+
+
+def stats_study(reps=24):
+    """Unfused IN-stat alternatives at the entry shape (80000, 128) bf16:
+    the naive convert+column-reduce measured ~19 GB/s in-pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+    r = np.random.RandomState(0)
+    bf = jnp.bfloat16
+    n, c = 80000, 128
+    ones_bf = jnp.asarray(np.ones((1, n)), bf)
+    ones_f = jnp.asarray(np.ones((1, n)), jnp.float32)
+
+    def reduce_naive(x):
+        xf = x.astype(jnp.float32)
+        return jnp.sum(xf, 0), jnp.sum(xf * xf, 0)
+
+    def dot_bf(x):
+        s1 = jax.lax.dot_general(ones_bf, x, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        s2 = jax.lax.dot_general(ones_bf, x * x, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return s1[0], s2[0]
+
+    def dot_f32(x):
+        xf = x.astype(jnp.float32)
+        s1 = ones_f @ xf
+        s2 = ones_f @ (xf * xf)
+        return s1[0], s2[0]
+
+    def two_stage(x):
+        xf = x.reshape(625, 128, c).astype(jnp.float32)
+        p1 = jnp.sum(xf, 1)
+        p2 = jnp.sum(xf * xf, 1)
+        return jnp.sum(p1, 0), jnp.sum(p2, 0)
+
+    def transpose_rowsum(x):
+        xt = x.T.astype(jnp.float32)          # (c, n): lane-dim reduce
+        return jnp.sum(xt, 1), jnp.sum(xt * xt, 1)
+
+    for name, fn in [("convert+col-reduce (naive)", reduce_naive),
+                     ("ones-dot bf16", dot_bf),
+                     ("ones-dot f32", dot_f32),
+                     ("two-stage (625,128,c)", two_stage),
+                     ("transpose+row-reduce", transpose_rowsum)]:
+        j = jax.jit(fn)
+        inputs = [(jnp.asarray(r.randn(n, c), bf),) for _ in range(3)]
+        ms = device_ms(j, inputs, reps)
+        gbs = (n * c * 2) / ms / 1e6
+        print(f"{name:32s} {ms:8.3f} ms  {gbs:7.1f} GB/s", flush=True)
+
+
+def conv_stats_study(reps=24):
+    """Reproduce the in-pipeline entry-IN slowness: conv output feeding the
+    IN stats + normalize in one program, with candidate fixes."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+    r = np.random.RandomState(0)
+    bf = jnp.bfloat16
+    w = jnp.asarray(r.randn(2, 3, 256, 128), bf) * 0.05
+    n_, c = 80000, 128
+    ones_f = jnp.asarray(np.ones((1, n_)), jnp.float32)
+
+    def entry(x):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 2), ((1, 0), (1, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+
+    def norm(y, s1, s2):
+        m = s1 / n_
+        v = jnp.maximum(s2 / n_ - m * m, 0.0)
+        inv = jax.lax.rsqrt(v + 1e-3).astype(y.dtype)
+        return jax.nn.relu((y - m.astype(y.dtype)) * inv)
+
+    def naive(x):
+        y = entry(x)
+        yf = y.reshape(-1, c).astype(jnp.float32)
+        return norm(y, jnp.sum(yf, 0), jnp.sum(yf * yf, 0))
+
+    def dot_stats(x):
+        y = entry(x)
+        y2 = y.reshape(-1, c)
+        yf = y2.astype(jnp.float32)
+        s1 = (ones_f @ yf)[0]
+        s2 = (ones_f @ (yf * yf))[0]
+        return norm(y, s1, s2)
+
+    def barrier_copy(x):
+        y = entry(x)
+        y2 = jax.lax.optimization_barrier(y.reshape(-1, c))
+        yf = y2.astype(jnp.float32)
+        return norm(y, jnp.sum(yf, 0), jnp.sum(yf * yf, 0))
+
+    def stats_of_copy(x):
+        # force a standard-layout copy first, reduce the copy, normalize it
+        y = entry(x)
+        y2 = jax.lax.optimization_barrier(y.reshape(-1, c) * jnp.bfloat16(1.0))
+        yf = y2.astype(jnp.float32)
+        out = norm(y2.reshape(y.shape), jnp.sum(yf, 0), jnp.sum(yf * yf, 0))
+        return out
+
+    for name, fn in [("conv+naive-stats+norm", naive),
+                     ("conv+ones-dot-stats+norm", dot_stats),
+                     ("conv+barrier-reshape-stats+norm", barrier_copy),
+                     ("conv+copy;stats-of-copy+norm", stats_of_copy)]:
+        j = jax.jit(fn)
+        inputs = [(jnp.asarray(r.randn(1, 400, 400, 256), bf),) for _ in range(2)]
+        ms = device_ms(j, inputs, reps)
+        print(f"{name:36s} {ms:8.3f} ms", flush=True)
