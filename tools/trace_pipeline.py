@@ -43,7 +43,18 @@ def main():
     ]
     n = jax.device_put(np.int32(100_000))
 
-    hlo = jax.jit(det.infer).lower(v, clouds[0], n).compile().as_text()
+    # source map from the programs the traced path actually runs: on TPU
+    # infer_jit is two chained dispatches (candidates | NMS finalize)
+    def hlo_of_stages():
+        try:
+            s1 = jax.jit(det.infer_candidates).lower(v, clouds[0], n)
+            cands = jax.eval_shape(det.infer_candidates, v, clouds[0], n)
+            s2 = jax.jit(det.postprocess.finalize_stage).lower(cands)
+            return s1.compile().as_text() + s2.compile().as_text()
+        except Exception:
+            return jax.jit(det.infer).lower(v, clouds[0], n).compile().as_text()
+
+    hlo = hlo_of_stages()
     src = {}
     for m in re.finditer(r"%([\w.\-]+) = .*?source_file=\"([^\"]+)\" source_line=(\d+)", hlo):
         src[m.group(1)] = f"{m.group(2).split('/')[-1]}:{m.group(3)}"
