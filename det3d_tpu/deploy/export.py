@@ -67,6 +67,21 @@ def export_detector(
 
     exported = jax_export.export(jax.jit(det.infer))(var_specs, pts_spec, n_spec)
     (out / "detector.stablehlo").write_bytes(exported.serialize())
+
+    # also export the two-stage split (candidates | NMS finalize): on TPU
+    # the fused graph loses the space-to-batch conv transform to the NMS
+    # custom call (~3x on every conv — see pipeline.Detector.infer_jit), so
+    # the runtime prefers these when present. This mirrors the reference's
+    # multi-engine TRT deployment (train.py:348-424 builds per-stage
+    # engines) — staged artifacts, one runtime surface.
+    exported_c = jax_export.export(jax.jit(det.infer_candidates))(
+        var_specs, pts_spec, n_spec
+    )
+    cand_specs = jax.eval_shape(det.infer_candidates, var_specs, pts_spec, n_spec)
+    exported_f = jax_export.export(jax.jit(det.postprocess.finalize_stage))(cand_specs)
+    (out / "candidates.stablehlo").write_bytes(exported_c.serialize())
+    (out / "finalize.stablehlo").write_bytes(exported_f.serialize())
+
     (out / "variables.msgpack").write_bytes(serialization.to_bytes(variables))
     (out / "config.json").write_text(_config_json(cfg))
     print(f"exported detector ({cfg.max_points} pts, platform {exported.platforms}) → {out}")

@@ -39,7 +39,18 @@ class ExportedDetector:
         raw.pop("class_specs", None)
         raw["detection_range"] = raw.pop("detection_range_raw")
         self.cfg: Config = load_config(raw)
-        self._call = jax.jit(self.exported.call)
+        # prefer the two-stage artifacts (candidates | NMS finalize) when the
+        # exporter wrote them: the fused graph loses space-to-batch convs to
+        # the NMS custom call on TPU (see deploy/export.py); older artifacts
+        # without them still load via the fused program
+        cand_p = self.dir / "candidates.stablehlo"
+        fin_p = self.dir / "finalize.stablehlo"
+        if cand_p.exists() and fin_p.exists():
+            cand = jax.jit(jax_export.deserialize(cand_p.read_bytes()).call)
+            fin = jax.jit(jax_export.deserialize(fin_p.read_bytes()).call)
+            self._call = lambda v, p, n: fin(cand(v, p, n))
+        else:
+            self._call = jax.jit(self.exported.call)
 
     def pad_points(self, points: np.ndarray) -> tuple[np.ndarray, np.int32]:
         n = min(points.shape[0], self.cfg.max_points)

@@ -58,6 +58,61 @@ def postprocess_ref(cfg, anchor_set, preds, anchors_mask, params):
     return out
 
 
+class TestStagedPostprocess:
+    def test_two_stage_matches_fused(self):
+        """decode_stage → finalize_stage (the TPU dispatch split) must equal
+        the fused postprocess bit-for-bit on the same inputs."""
+        import jax
+        import jax.numpy as jnp
+
+        from det3d_tpu.pipeline import Detector
+        from helpers import small_cfg, random_cloud
+
+        det = Detector(small_cfg())
+        v = det.init_variables(jax.random.PRNGKey(0))
+        pts, n = det.pad_points(random_cloud(300, seed=11))
+        fused = det.infer(v, jnp.asarray(pts), jnp.asarray(n))
+        staged = det.postprocess.finalize_stage(
+            det.infer_candidates(v, jnp.asarray(pts), jnp.asarray(n))
+        )
+        for a, b in zip(fused, staged):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestBucketedTopK:
+    def test_recall_and_order(self):
+        """Bucketed top-k: sorted descending, indices consistent, recall on
+        the true top-k ~ 1 - k/(2B) (here ~97%)."""
+        import jax.numpy as jnp
+
+        from det3d_tpu.postprocess import _bucketed_topk
+
+        r = np.random.RandomState(0)
+        n, k = 960_000, 1000
+        scores = r.rand(n).astype(np.float32)
+        top, idx = _bucketed_topk(jnp.asarray(scores), k)
+        top, idx = np.asarray(top), np.asarray(idx)
+        # returned values match the claimed indices, sorted descending
+        np.testing.assert_allclose(top, scores[idx], rtol=0)
+        assert (np.diff(top) <= 0).all()
+        assert len(np.unique(idx)) == k
+        # recall vs exact top-k
+        exact = set(np.argpartition(scores, -k)[-k:].tolist())
+        recall = len(exact.intersection(idx.tolist())) / k
+        assert recall > 0.93, recall
+
+    def test_top1_always_exact(self):
+        import jax.numpy as jnp
+
+        from det3d_tpu.postprocess import _bucketed_topk
+
+        r = np.random.RandomState(3)
+        scores = r.randn(160_000).astype(np.float32)
+        top, idx = _bucketed_topk(jnp.asarray(scores), 1000)
+        assert int(np.asarray(idx)[0]) == int(scores.argmax())
+        assert float(np.asarray(top)[0]) == float(scores.max())
+
+
 class TestPostprocessParity:
     @pytest.mark.parametrize("seed", [0, 1, 2])
     def test_vs_numpy_ref(self, seed):

@@ -24,6 +24,9 @@ def main() -> None:
     ap.add_argument("--config", default="configs/ntusl_20cm.json")
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--iters", type=int, default=24)
+    ap.add_argument("--pack-w", type=int, default=None,
+                    help="override cfg.pack_w (packing is weight-side only, "
+                    "so the trainer may pick whichever direction is faster)")
     args = ap.parse_args()
 
     import jax
@@ -38,7 +41,9 @@ def main() -> None:
     from det3d_tpu.data.synthetic import sample_scene
     from det3d_tpu.train.trainer import Trainer, host_batch
 
-    cfg = load_config(args.config, max_points=120_000, batch_size=args.batch)
+    overrides = {} if args.pack_w is None else {"pack_w": bool(args.pack_w)}
+    cfg = load_config(args.config, max_points=120_000, batch_size=args.batch,
+                      **overrides)
     trainer = Trainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
 
