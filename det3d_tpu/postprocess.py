@@ -119,7 +119,7 @@ except Exception:  # pragma: no cover - older jax without namedtuple serializati
 
 
 def _decode_one_class(
-    masked_scores: jax.Array,  # (Ac,) f32, gated scores (-1 where excluded)
+    masked_logits: jax.Array,  # (Ac,) gated LOGITS (-inf where excluded)
     global_idx_fn,             # class-flat idx -> row into the global tensors
     box_all_t: jax.Array,      # (7, A_total) global, channel-major
     dir_all_t: jax.Array,      # (2, A_total) global
@@ -134,10 +134,15 @@ def _decode_one_class(
     every upstream conv ~3x, which is why NMS lives in a separate stage."""
     # clamp to the class's (static) anchor count — small classes can have
     # fewer anchors than nms_pre_max_size
-    k = min(params.nms_pre_max_size, masked_scores.shape[0])
+    k = min(params.nms_pre_max_size, masked_logits.shape[0])
 
-    top_scores, idx = _topk(masked_scores, k, params)
-    valid = top_scores >= 0.0
+    top_logits, idx = _topk(masked_logits, k, params)
+    valid = top_logits > -jnp.inf
+    # sigmoid only on the k winners (the dense map stayed in logit space);
+    # invalid slots report -1.0, the legacy gated-score sentinel
+    top_scores = jnp.where(
+        valid, jax.nn.sigmoid(top_logits.astype(jnp.float32)), -1.0
+    )
 
     # gather the k candidates straight from the GLOBAL channel-major tensors
     # (slicing the per-class channels out of the 1.44M-anchor tensors costs
@@ -215,13 +220,21 @@ def make_postprocessor(cfg: Config, anchor_set: AnchorSet, params: PostProcessPa
         # preds are single-frame channel-major (k, A) in the anchor-major
         # flat order: per-class anchors are CONTIGUOUS row ranges, so class
         # slicing is free and class-flat → global index is `idx + c0·hw`
-        scores_all = jax.nn.sigmoid(
-            preds["cls_preds"].astype(jnp.float32)
-        ).reshape(-1)
+        # score in LOGIT space: sigmoid is monotone, so top-k order and the
+        # score gate are identical on logits (x >= logit(thr) ⇔ sigmoid(x)
+        # >= thr, exactly, in f32-promoted compares) — and the full-map f32
+        # sigmoid materialization over all anchors disappears; sigmoid runs
+        # on the 1000 winners per class instead (reference semantics:
+        # framework/inference.py:60-66 computed it densely)
+        # (gating stays in the logits' own dtype: the scores carry bf16
+        # information to begin with, so sorting bf16 logits is order-
+        # identical to sorting their f32 sigmoids — no f32 map needed)
+        logit_thr = float(np.log(params.score_threshold / (1.0 - params.score_threshold)))
+        logits_all = preds["cls_preds"].reshape(-1)
         gated_all = jnp.where(
-            anchors_mask & (scores_all >= params.score_threshold),
-            scores_all,
-            -1.0,
+            anchors_mask & (logits_all >= logit_thr),
+            logits_all,
+            jnp.asarray(-jnp.inf, logits_all.dtype),
         )
         box_all_t = preds["box_preds"].reshape(cfg.box_code_size, -1)
         dir_all_t = preds["dir_preds"].reshape(2, -1)
