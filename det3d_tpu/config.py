@@ -220,11 +220,6 @@ def load_config(path: str | Path | dict, **overrides: Any) -> Config:
     def tup(v):
         return tuple(v) if isinstance(v, (list, tuple)) else v
 
-    # feature map size: JSON value if present, else derived from the voxel
-    # grid at the head's half resolution (the reference always pairs an
-    # 800x800 grid with a 400x400 feature map — configs/ntusl_20cm.json:19-22)
-    fms_raw = get("feature_map_size", None)
-
     cfg = Config(
         data_root=get("data_root", ""),
         model_path=get("model_path", ""),
@@ -238,7 +233,9 @@ def load_config(path: str | Path | dict, **overrides: Any) -> Config:
         num_workers=int(get("num_workers", 0)),
         learning_rate=float(get("learning_rate", 5e-4)),
         create_mask_gpu=int(get("create_mask_gpu", 1)),
-        feature_map_size=tup(fms_raw) if fms_raw is not None else (400, 400, 1),
+        # placeholder — unconditionally replaced with grid//2 below (the
+        # JSON field is ignored; see the derivation comment at the end)
+        feature_map_size=(400, 400, 1),
         detection_range_raw=tup(get("detection_range", (-80.0, -80.0, -2.5, 80.0, 80.0, 8.5))),
         center_limit=tup(get("center_limit", (-80.0, -80.0, -10.0, 80.0, 80.0, 10.0))),
         voxel_size=tup(get("voxel_size", (0.2, 0.2, 11.0))),

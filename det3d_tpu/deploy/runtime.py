@@ -29,9 +29,6 @@ class ExportedDetector:
 
     def __init__(self, artifact_dir: str | Path):
         self.dir = Path(artifact_dir)
-        self.exported = jax_export.deserialize(
-            (self.dir / "detector.stablehlo").read_bytes()
-        )
         self.variables = serialization.msgpack_restore(
             (self.dir / "variables.msgpack").read_bytes()
         )
@@ -50,7 +47,11 @@ class ExportedDetector:
             fin = jax.jit(jax_export.deserialize(fin_p.read_bytes()).call)
             self._call = lambda v, p, n: fin(cand(v, p, n))
         else:
-            self._call = jax.jit(self.exported.call)
+            self._call = jax.jit(
+                jax_export.deserialize(
+                    (self.dir / "detector.stablehlo").read_bytes()
+                ).call
+            )
 
     def pad_points(self, points: np.ndarray) -> tuple[np.ndarray, np.int32]:
         n = min(points.shape[0], self.cfg.max_points)

@@ -63,10 +63,13 @@ def _canvas_kernel(starts_ref, rows_ref, feats_ref, out_ref, *, tile: int):
     jax.lax.fori_loop(lo // _CHUNK, (hi + _CHUNK - 1) // _CHUNK, body, 0)
 
 
-def _pick_tile(nrows: int) -> int:
+def _pick_tile(nrows: int, cap: int = 4096) -> int:
+    """Largest canvas-tile candidate ≤ cap that divides nrows. The s2d
+    variant passes a lower cap: its one-hot matmul spends 4C output lanes
+    per chunk, so smaller tiles keep the per-chunk MAC count bounded."""
     for t in (4096, 4000, 3200, 2560, 2048, 2000, 1600, 1024, 1000, 800, 512,
               500, 400, 256, 200, 128, 100, 64, 40, 32, 25, 16, 8, 5, 4, 2, 1):
-        if nrows % t == 0:
+        if t <= cap and nrows % t == 0:
             return t
     return 1
 
@@ -153,11 +156,7 @@ def _scatter_s2d_fwd_impl(
     b, v, c = pillar_features.shape
     nx2, ny2 = nx // 2, ny // 2
     nrows = nx2 * ny2
-    # the s2d one-hot matmul spends 4C output lanes per chunk — smaller
-    # tiles than the plain scatter keep the per-chunk MAC count down
-    tile = next(t for t in (2000, 1600, 1024, 1000, 800, 512, 500, 400, 256,
-                            200, 128, 100, 64, 40, 32, 25, 16, 8, 5, 4, 2, 1)
-                if nrows % t == 0)
+    tile = _pick_tile(nrows, cap=2000)
     ntiles = nrows // tile
     vpad = ((v + _CHUNK - 1) // _CHUNK) * _CHUNK
 

@@ -168,7 +168,8 @@ def scatter_to_bev_s2d(
     grid_xy: tuple[int, int],
 ) -> jax.Array:                  # (B, nx/2, ny/2, 4C)
     """Scatter pillars directly into the space-to-depth canvas layout
-    consumed by EntryS2DConv: cell (x, y) → z[x//2, y//2, phase block],
+    consumed by the packed entry conv (PackedConv kind='entry', the
+    w-parity packed block0): cell (x, y) → z[x//2, y//2, phase block],
     phase = (x%2)*2 + y%2. Same scatter cost as the dense canvas, but the
     4C channel dim fills the full 128-lane tile from the first conv on."""
     nx, ny = grid_xy

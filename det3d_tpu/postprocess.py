@@ -50,17 +50,16 @@ def _nms_fn():
 class PostProcessParams(NamedTuple):
     """Reference inference hyper-parameters (framework/inference.py:13-19).
 
-    `approx_topk`: use TPU-optimized `lax.approx_max_k` for the pre-NMS
-    top-k (None = auto: on for TPU, off elsewhere). Recall ≈ target on the
-    candidate tail, which the score sort + NMS + post_max cap discards
-    anyway; set False for bit-exact parity runs."""
+    `approx_topk`: use the bucketed approximate pre-NMS top-k
+    (`_bucketed_topk`; None = auto: on for TPU, off elsewhere). Recall ~97%
+    on the candidate tail, which the score sort + NMS + post_max cap
+    discards anyway; set False for bit-exact parity runs."""
 
     nms_pre_max_size: int = 1000
     nms_post_max_size: int = 300
     nms_iou_threshold: float = 0.1
     score_threshold: float = 0.05
     approx_topk: bool | None = None
-    approx_recall_target: float = 0.95
 
 
 def _bucketed_topk(scores: jax.Array, k: int):
@@ -220,19 +219,22 @@ def make_postprocessor(cfg: Config, anchor_set: AnchorSet, params: PostProcessPa
         # preds are single-frame channel-major (k, A) in the anchor-major
         # flat order: per-class anchors are CONTIGUOUS row ranges, so class
         # slicing is free and class-flat → global index is `idx + c0·hw`
-        # score in LOGIT space: sigmoid is monotone, so top-k order and the
-        # score gate are identical on logits (x >= logit(thr) ⇔ sigmoid(x)
-        # >= thr, exactly, in f32-promoted compares) — and the full-map f32
-        # sigmoid materialization over all anchors disappears; sigmoid runs
-        # on the 1000 winners per class instead (reference semantics:
-        # framework/inference.py:60-66 computed it densely)
-        # (gating stays in the logits' own dtype: the scores carry bf16
-        # information to begin with, so sorting bf16 logits is order-
-        # identical to sorting their f32 sigmoids — no f32 map needed)
+        # score in LOGIT space: sigmoid is monotone, so the top-k order and
+        # the score gate are decision-identical on logits — the full-map f32
+        # sigmoid materialization over all anchors disappears, and sigmoid
+        # runs on the 1000 winners per class instead (reference semantics:
+        # framework/inference.py:60-66 computed it densely). The compare is
+        # forced to f32 so the threshold is NOT rounded to bf16 (a bf16
+        # compare would move the effective gate from logit(0.05)=-2.9444 to
+        # -2.9375 and drop boundary detections the reference kept); the cast
+        # happens in-register inside the compare fusion — the bool output
+        # means no f32 copy of the map ever exists. Sorting the gated bf16
+        # logits is order-identical to sorting their f32 sigmoids, since
+        # the scores carry bf16 information to begin with.
         logit_thr = float(np.log(params.score_threshold / (1.0 - params.score_threshold)))
         logits_all = preds["cls_preds"].reshape(-1)
         gated_all = jnp.where(
-            anchors_mask & (logits_all >= logit_thr),
+            anchors_mask & (logits_all.astype(jnp.float32) >= jnp.float32(logit_thr)),
             logits_all,
             jnp.asarray(-jnp.inf, logits_all.dtype),
         )

@@ -137,7 +137,18 @@ class Trainer:
 
     @functools.cached_property
     def eval_step_jit(self):
-        return jax.jit(self.eval_step)
+        """Compiled eval forward. Uses the detector's staged dispatch (on
+        TPU: candidates | NMS as two programs) so in-training eval keeps the
+        space-to-batch convs — a single fused jit here would put the NMS
+        custom call downstream of the RPN and slow every conv ~3x (see
+        pipeline.Detector.infer_jit)."""
+        det = self.detector
+
+        def eval_fn(state, points, num_points):
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            return det.infer_jit(variables, points, num_points)
+
+        return eval_fn
 
 
 def host_batch(cfg: Config, samples: list[dict]) -> TrainBatch:

@@ -59,9 +59,12 @@ def postprocess_ref(cfg, anchor_set, preds, anchors_mask, params):
 
 
 class TestStagedPostprocess:
-    def test_two_stage_matches_fused(self):
-        """decode_stage → finalize_stage (the TPU dispatch split) must equal
-        the fused postprocess bit-for-bit on the same inputs."""
+    def test_stage_boundary_roundtrips(self):
+        """The candidates pytree is the export/dispatch boundary
+        (deploy/export.py serializes the two stages separately): finalizing
+        candidates that crossed a host round-trip — losing weak types,
+        tuple/list identity, device placement — must reproduce the direct
+        result exactly, and the boundary stays small."""
         import jax
         import jax.numpy as jnp
 
@@ -71,11 +74,15 @@ class TestStagedPostprocess:
         det = Detector(small_cfg())
         v = det.init_variables(jax.random.PRNGKey(0))
         pts, n = det.pad_points(random_cloud(300, seed=11))
-        fused = det.infer(v, jnp.asarray(pts), jnp.asarray(n))
-        staged = det.postprocess.finalize_stage(
-            det.infer_candidates(v, jnp.asarray(pts), jnp.asarray(n))
-        )
-        for a, b in zip(fused, staged):
+        cands = det.infer_candidates(v, jnp.asarray(pts), jnp.asarray(n))
+        direct = det.infer(v, jnp.asarray(pts), jnp.asarray(n))
+
+        host = jax.tree.map(np.asarray, cands)
+        total_bytes = sum(a.nbytes for a in jax.tree.leaves(host))
+        assert total_bytes < 2**20, "stage boundary must stay small"
+        rt = jax.tree.map(jnp.asarray, host)
+        staged = jax.jit(det.postprocess.finalize_stage)(rt)
+        for a, b in zip(direct, staged):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 

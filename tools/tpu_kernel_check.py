@@ -59,16 +59,6 @@ def main() -> None:
     np.testing.assert_array_equal(got, want)
     print("scatter_to_bev_s2d_pallas: OK")
 
-    # --- layout fence at the head-prediction shapes --------------------------
-    from det3d_tpu.kernels.fence_pallas import layout_fence
-
-    for shp in ((1, 1440000), (7, 1440000), (2, 1440000)):
-        xx = jnp.asarray(r.randn(*shp), jnp.bfloat16)
-        yy = layout_fence(xx)
-        yy.block_until_ready()
-        np.testing.assert_array_equal(np.asarray(yy), np.asarray(xx))
-    print("layout_fence: OK")
-
     # --- assign_class_pallas at the vehicle-class production shape -----------
     from det3d_tpu.kernels.matcher_pallas import assign_class_pallas
     from det3d_tpu import targets as tg
