@@ -33,6 +33,7 @@ Differences, by design (TPU-first, not a translation):
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import flax.linen as nn
@@ -188,6 +189,41 @@ def scatter_to_bev_s2d(
     return out.reshape(b, nx // 2, ny // 2, 4 * c)
 
 
+def _in_moments(x: jax.Array, packed: bool):
+    """Per-(sample, channel) mean and rsqrt(var+eps), f32, (B, C) each."""
+    b, h, w, c = x.shape
+    xf = x.reshape(b, h * w, c).astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=1)
+    s2 = jnp.sum(xf * xf, axis=1)
+    if packed:
+        c2 = c // 2
+        s1 = s1[:, :c2] + s1[:, c2:]
+        s2 = s2[:, :c2] + s2[:, c2:]
+        n = jnp.array(h * w * 2, jnp.float32)
+    else:
+        n = jnp.array(h * w, jnp.float32)
+    mean = s1 / n                                     # (b, c) or (b, c/2)
+    m2 = s2 / n
+    var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + 1e-3)
+    if packed:
+        mean = jnp.concatenate([mean, mean], axis=-1)
+        inv = jnp.concatenate([inv, inv], axis=-1)
+    return mean, inv, n
+
+
+def _reduce_cc(a: jax.Array, packed: bool, n) -> jax.Array:
+    """Per-(sample, channel) mean of a map, with the packed parity merge."""
+    b, h, w, c = a.shape
+    s = jnp.sum(a.reshape(b, h * w, c).astype(jnp.float32), axis=1)
+    if packed:
+        c2 = c // 2
+        s = s[:, :c2] + s[:, c2:]
+        s = jnp.concatenate([s, s], axis=-1)
+    return s / n
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _instance_norm(x: jax.Array, name: str, packed: bool = False) -> jax.Array:
     """InstanceNorm2d, affine=False, eps=1e-3 — matches the RPN's norm layer
     (reference networks/pointpillars8_shared.py:128). Stateless (no params).
@@ -209,28 +245,41 @@ def _instance_norm(x: jax.Array, name: str, packed: bool = False) -> jax.Array:
     from ~100 to ~34 TF/s (tools/conv_fusion_study.py chain_study). The
     round-1 "column reduce is 10x off bandwidth" measurement that motivated
     the kernel was an UNFUSED reduce over a half-lane C=64 map — both
-    conditions the packed layout has since removed."""
-    b, h, w, c = x.shape
-    xf = x.reshape(b, h * w, c).astype(jnp.float32)
-    s1 = jnp.sum(xf, axis=1)
-    s2 = jnp.sum(xf * xf, axis=1)
-    if packed:
-        c2 = c // 2
-        s1 = s1[:, :c2] + s1[:, c2:]
-        s2 = s2[:, :c2] + s2[:, c2:]
-        n = jnp.array(h * w * 2, jnp.float32)
-    else:
-        n = jnp.array(h * w, jnp.float32)
-    mean = s1 / n                                     # (b, c) or (b, c/2)
-    m2 = s2 / n
-    var = jnp.maximum(m2 - jnp.square(mean), 0.0)
-    inv = jax.lax.rsqrt(var + 1e-3)
-    if packed:
-        mean = jnp.concatenate([mean, mean], axis=-1)
-        inv = jnp.concatenate([inv, inv], axis=-1)
-    mean = mean[:, None, None]
-    inv = inv[:, None, None].astype(x.dtype)
-    return (x - mean.astype(x.dtype)) * inv
+    conditions the packed layout has since removed.
+
+    Training note: custom VJP with the textbook analytic IN gradient
+      dx = r·(g − mean(g) − x̂·mean(g·x̂)),  x̂ = (x−μ)·r
+    — two reductions and one elementwise pass over cotangents, instead of
+    autodiff's longer saved-residual chains (~13 ms of the b=2 train step
+    was IN stats + their transposes; tools/trace_train.py). The var<0 clamp
+    edge (impossible up to fp error) is ignored by the analytic form."""
+    mean, inv, _ = _in_moments(x, packed)
+    inv_c = inv[:, None, None].astype(x.dtype)
+    return (x - mean[:, None, None].astype(x.dtype)) * inv_c
+
+
+def _in_fwd(x, name, packed):
+    mean, inv, n = _in_moments(x, packed)
+    inv_c = inv[:, None, None].astype(x.dtype)
+    y = (x - mean[:, None, None].astype(x.dtype)) * inv_c
+    return y, (x, mean, inv, n)
+
+
+def _in_bwd(name, packed, res, g):
+    x, mean, inv, n = res
+    inv_c = inv[:, None, None].astype(x.dtype)
+    xhat = (x - mean[:, None, None].astype(x.dtype)) * inv_c
+    m_g = _reduce_cc(g, packed, n)                     # (b, c) f32
+    m_gx = _reduce_cc(g * xhat, packed, n)
+    dx = inv_c * (
+        g
+        - m_g[:, None, None].astype(g.dtype)
+        - xhat * m_gx[:, None, None].astype(g.dtype)
+    )
+    return (dx.astype(x.dtype),)
+
+
+_instance_norm.defvjp(_in_fwd, _in_bwd)
 
 
 class DeconvUpsample(nn.Module):

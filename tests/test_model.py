@@ -139,6 +139,48 @@ class TestMultiHead:
         assert "name" in annos
 
 
+class TestInstanceNormVJP:
+    @staticmethod
+    def _in_autodiff(x, packed):
+        """The same forward math WITHOUT the custom VJP (autodiff oracle)."""
+        from det3d_tpu.models.pointpillars import _in_moments
+
+        mean, inv, _ = _in_moments(x, packed)
+        inv_c = inv[:, None, None].astype(x.dtype)
+        return (x - mean[:, None, None].astype(x.dtype)) * inv_c
+
+    def test_grad_matches_autodiff(self):
+        from det3d_tpu.models.pointpillars import _instance_norm
+
+        r = np.random.RandomState(0)
+        for packed, shape in [(False, (2, 8, 6, 16)), (True, (2, 8, 3, 32))]:
+            x = jnp.asarray(r.randn(*shape).astype(np.float32) * 2 + 0.5)
+            w = jnp.asarray(r.randn(*shape).astype(np.float32))
+
+            g_custom = jax.grad(
+                lambda x: jnp.sum(jnp.tanh(_instance_norm(x, "t", packed)) * w)
+            )(x)
+            g_auto = jax.grad(
+                lambda x: jnp.sum(jnp.tanh(self._in_autodiff(x, packed)) * w)
+            )(x)
+            np.testing.assert_allclose(
+                np.asarray(g_custom), np.asarray(g_auto), rtol=1e-4, atol=1e-5,
+                err_msg=f"packed={packed}",
+            )
+
+    def test_forward_unchanged(self):
+        from det3d_tpu.models.pointpillars import _instance_norm
+
+        r = np.random.RandomState(1)
+        x = jnp.asarray(r.randn(1, 10, 10, 8).astype(np.float32))
+        y = np.asarray(_instance_norm(x, "t", False))
+        ref = np.asarray(x)
+        m = ref.reshape(100, 8).mean(0)
+        v = ref.reshape(100, 8).var(0)
+        want = (ref - m) / np.sqrt(v + 1e-3)
+        np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-5)
+
+
 class TestPackedBlock0:
     def test_packed_matches_plain_conv_pipeline(self):
         """Same params → (numerically) same predictions whether block0 runs
