@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from det3d_tpu.ops.rotated_iou import rotate_iou_eval_np
 
 N_SAMPLE_PTS = 41
 MIN_OVERLAPS = {

@@ -9,7 +9,6 @@ Variants cover the RPN's hot conv shapes and candidate reformulations.
 """
 
 import argparse
-import collections
 import glob
 import gzip
 import json

@@ -61,7 +61,6 @@ def main() -> None:
 
     # --- assign_class_pallas at the vehicle-class production shape -----------
     from det3d_tpu.kernels.matcher_pallas import assign_class_pallas
-    from det3d_tpu import targets as tg
 
     ac, g = 960000, 64
     anchors = np.zeros((ac, 7), np.float32)
