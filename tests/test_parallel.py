@@ -100,3 +100,29 @@ class TestShardedInfer:
             np.testing.assert_array_equal(
                 np.asarray(out.valid)[i], np.asarray(single.valid)
             )
+
+
+class TestPreparePaths:
+    def test_unrolled_prepare_matches_vmap(self):
+        """The b<=8 unrolled per-sample preparation (a TPU perf fix: batched
+        gathers/sorts under vmap serialize) must produce exactly what the
+        vmapped form produces."""
+        cfg = small_cfg(batch_size=2)
+        trainer = Trainer(cfg)
+        batch = jax.device_put(host_batch(cfg, _samples(cfg, 2, seed=3)))
+
+        unrolled = trainer._prepare(batch)
+
+        def vmapped(b):
+            def one(points, num_points, gt_boxes, gt_classes, gt_valid):
+                frame, anchors_mask = trainer.detector.preprocess(points, num_points)
+                tgt = trainer.assigner(gt_boxes, gt_classes, gt_valid, anchors_mask)
+                return frame, anchors_mask, tgt
+
+            return jax.vmap(one)(
+                b.points, b.num_points, b.gt_boxes, b.gt_classes, b.gt_valid
+            )
+
+        ref = vmapped(batch)
+        for a, b in zip(jax.tree.leaves(unrolled), jax.tree.leaves(ref)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
