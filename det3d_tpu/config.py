@@ -261,6 +261,16 @@ def load_config(path: str | Path | dict, **overrides: Any) -> Config:
     # stale for the 1600-grid 10cm one, where grid//2 = 800 is the only
     # geometry the live network can produce.
     fms = (cfg.grid_size[0] // 2, cfg.grid_size[1] // 2, 1)
+    json_fms = raw.get("feature_map_size")
+    if json_fms is not None and tuple(json_fms) != fms:
+        import warnings
+
+        warnings.warn(
+            f"config feature_map_size {tuple(json_fms)} disagrees with the "
+            f"derived grid//2 = {fms}; the JSON field is ignored (the live "
+            "network can only produce grid//2 maps)",
+            stacklevel=2,
+        )
     specs = tuple(
         dataclasses.replace(s, feature_map_size=fms) for s in cfg.class_specs
     )

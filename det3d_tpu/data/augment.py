@@ -275,6 +275,97 @@ def global_translate(gt_boxes, points, rng, std=(0.25, 0.25, 0.25)):
     return gt_boxes, points
 
 
+# ---------------------------------------------------------------------------
+# on-device global transforms (jnp): the same flip/rot/scale/translate chain,
+# jittable so it can fuse into the on-device preprocess. Parameter sampling is
+# split from application so tests can drive both backends with identical
+# params (host numpy above ↔ device jnp below).
+# ---------------------------------------------------------------------------
+
+
+def sample_global_augment_params(key):
+    """Sample the global-augmentation parameter pytree with a jax PRNG key.
+
+    Distributions mirror the host chain / reference exactly
+    (framework/augmentation.py:9-89): flip p=0.5; pitch ±4°, roll ±2°,
+    yaw ±30°; scale x,y ~ U(0.9,1.1), z ~ U(0.95,1.05); translate
+    N(0, 0.25) per axis."""
+    import jax
+    import jax.numpy as jnp
+
+    kf, kp, kr, ky, ksx, ksy, ksz, kt = jax.random.split(key, 8)
+    deg = jnp.pi / 180.0
+    return {
+        "flip": jax.random.bernoulli(kf),
+        "pitch": jax.random.uniform(kp, minval=-4 * deg, maxval=4 * deg),
+        "roll": jax.random.uniform(kr, minval=-2 * deg, maxval=2 * deg),
+        "yaw": jax.random.uniform(ky, minval=-30 * deg, maxval=30 * deg),
+        "scale": jnp.stack(
+            [
+                jax.random.uniform(ksx, minval=0.9, maxval=1.1),
+                jax.random.uniform(ksy, minval=0.9, maxval=1.1),
+                jax.random.uniform(ksz, minval=0.95, maxval=1.05),
+            ]
+        ),
+        "translate": 0.25 * jax.random.normal(kt, (3,)),
+    }
+
+
+def apply_global_augment(points, gt_boxes, params):
+    """Apply sampled global-augment params on device (jnp, jittable).
+
+    Same operation order and math as the host chain (flip → pitch/roll/yaw
+    rotation → anisotropic scale with dim/yaw re-fit → translate). `points`
+    is (P, >=3) (padded rows transform harmlessly), `gt_boxes` (N, 7).
+    Returns (points, gt_boxes)."""
+    import jax.numpy as jnp
+
+    from det3d_tpu.ops.geometry import rotation_points_single_angle
+
+    pxyz = points[:, :3]
+    extra = points[:, 3:]
+    ctr, dims, yaw = gt_boxes[:, :3], gt_boxes[:, 3:6], gt_boxes[:, 6]
+
+    # flip over y
+    sign = jnp.where(params["flip"], -1.0, 1.0).astype(points.dtype)
+    flip_vec = jnp.stack([jnp.ones_like(sign), sign, jnp.ones_like(sign)])
+    pxyz = pxyz * flip_vec
+    ctr = ctr * flip_vec
+    yaw = yaw * sign
+
+    # pitch (axis=1), roll (axis=0), yaw (axis=2) — reference order
+    for angle, axis in ((params["pitch"], 1), (params["roll"], 0), (params["yaw"], 2)):
+        pxyz = rotation_points_single_angle(pxyz, angle, axis=axis)
+        ctr = rotation_points_single_angle(ctr, angle, axis=axis)
+    yaw = yaw + params["yaw"]
+
+    # anisotropic scale with the dim/yaw re-fit (global_scaling_v2 :57-71)
+    scale = params["scale"].astype(points.dtype)
+    pxyz = pxyz * scale
+    ctr = ctr * scale
+    sx, sy, sz = scale[0], scale[1], scale[2]
+    dx = dims[:, 0] * jnp.sqrt((sx * jnp.cos(yaw)) ** 2 + (sy * jnp.sin(yaw)) ** 2)
+    dy = dims[:, 1] * jnp.sqrt((sx * jnp.sin(yaw)) ** 2 + (sy * jnp.cos(yaw)) ** 2)
+    dz = dims[:, 2] * sz
+    yaw = jnp.arctan(jnp.tan(yaw) * (sy / sx))
+
+    # translate
+    t = params["translate"].astype(points.dtype)
+    pxyz = pxyz + t
+    ctr = ctr + t
+
+    points = jnp.concatenate([pxyz, extra], axis=1)
+    gt_boxes = jnp.concatenate(
+        [ctr, jnp.stack([dx, dy, dz], -1), yaw[:, None]], axis=1
+    )
+    return points, gt_boxes
+
+
+def global_augment_device(points, gt_boxes, key):
+    """Sample + apply the global transforms on device in one jittable call."""
+    return apply_global_augment(points, gt_boxes, sample_global_augment_params(key))
+
+
 def augment_sample(points, gt_boxes, gt_valid_mask=None, rng=None):
     """Full training augmentation chain, reference order
     (framework/dataset.py:122-133): per-object noise → flip → rotation →

@@ -66,12 +66,18 @@ def _canvas_kernel(starts_ref, rows_ref, feats_ref, out_ref, *, tile: int):
 def _pick_tile(nrows: int, cap: int = 4096) -> int:
     """Largest canvas-tile candidate ≤ cap that divides nrows. The s2d
     variant passes a lower cap: its one-hot matmul spends 4C output lanes
-    per chunk, so smaller tiles keep the per-chunk MAC count bounded."""
+    per chunk, so smaller tiles keep the per-chunk MAC count bounded.
+
+    Every candidate is a multiple of 8: Mosaic requires the (tile, C) output
+    block to be sublane-aligned, and sub-8 tiles only ever passed in
+    interpret mode (round-2 advisor finding). Grids whose nrows no such
+    candidate divides fall back to tile=8 — the callers pad the canvas rows
+    up to a tile multiple, so non-dividing tiles stay legal."""
     for t in (4096, 4000, 3200, 2560, 2048, 2000, 1600, 1024, 1000, 800, 512,
-              500, 400, 256, 200, 128, 100, 64, 40, 32, 25, 16, 8, 5, 4, 2, 1):
+              400, 256, 128, 64, 40, 32, 16, 8):
         if t <= cap and nrows % t == 0:
             return t
-    return 1
+    return 8
 
 
 def _canvas_s2d_kernel(starts_ref, rows_ref, phase_ref, feats_ref, out_ref, *, tile: int):
@@ -157,12 +163,13 @@ def _scatter_s2d_fwd_impl(
     nx2, ny2 = nx // 2, ny // 2
     nrows = nx2 * ny2
     tile = _pick_tile(nrows, cap=2000)
-    ntiles = nrows // tile
+    nrows_pad = -(-nrows // tile) * tile  # invalid pillars land in [nrows, pad)
+    ntiles = nrows_pad // tile
     vpad = ((v + _CHUNK - 1) // _CHUNK) * _CHUNK
 
     def one(feats, crs):
         valid = crs[:, 0] >= 0
-        rows = jnp.where(valid, (crs[:, 0] // 2) * ny2 + crs[:, 1] // 2, nrows)
+        rows = jnp.where(valid, (crs[:, 0] // 2) * ny2 + crs[:, 1] // 2, nrows_pad)
         phase = jnp.where(valid, (crs[:, 0] % 2) * 2 + crs[:, 1] % 2, 0)
         rows_sorted, phase_sorted, perm = jax.lax.sort(
             (rows.astype(jnp.int32), phase.astype(jnp.int32),
@@ -171,7 +178,7 @@ def _scatter_s2d_fwd_impl(
         )
         feats_sorted = feats[perm]
         if vpad != v:
-            rows_sorted = jnp.pad(rows_sorted, (0, vpad - v), constant_values=nrows)
+            rows_sorted = jnp.pad(rows_sorted, (0, vpad - v), constant_values=nrows_pad)
             phase_sorted = jnp.pad(phase_sorted, (0, vpad - v))
             feats_sorted = jnp.pad(feats_sorted, ((0, vpad - v), (0, 0)))
         bounds = jnp.arange(ntiles + 1, dtype=jnp.int32) * tile
@@ -192,10 +199,10 @@ def _scatter_s2d_fwd_impl(
                     memory_space=pltpu.VMEM,
                 ),
             ),
-            out_shape=jax.ShapeDtypeStruct((nrows, 4 * c), feats.dtype),
+            out_shape=jax.ShapeDtypeStruct((nrows_pad, 4 * c), feats.dtype),
             interpret=interpret,
         )(starts, rows_sorted[None, :], phase_sorted[None, :], feats_sorted)
-        return canvas.reshape(nx2, ny2, 4 * c)
+        return canvas[:nrows].reshape(nx2, ny2, 4 * c)
 
     return jnp.stack([one(pillar_features[i], coors[i]) for i in range(b)])
 
@@ -244,17 +251,18 @@ def _scatter_fwd_impl(
     b, v, c = pillar_features.shape
     nrows = nx * ny
     tile = _pick_tile(nrows)
-    ntiles = nrows // tile
+    nrows_pad = -(-nrows // tile) * tile  # invalid pillars land in [nrows, pad)
+    ntiles = nrows_pad // tile
     vpad = ((v + _CHUNK - 1) // _CHUNK) * _CHUNK
 
     def one(feats, crs):
-        rows = jnp.where(crs[:, 0] >= 0, crs[:, 0] * ny + crs[:, 1], nrows)
+        rows = jnp.where(crs[:, 0] >= 0, crs[:, 0] * ny + crs[:, 1], nrows_pad)
         rows_sorted, perm = jax.lax.sort(
             (rows.astype(jnp.int32), jnp.arange(v, dtype=jnp.int32)), num_keys=1
         )
         feats_sorted = feats[perm]
         if vpad != v:
-            rows_sorted = jnp.pad(rows_sorted, (0, vpad - v), constant_values=nrows)
+            rows_sorted = jnp.pad(rows_sorted, (0, vpad - v), constant_values=nrows_pad)
             feats_sorted = jnp.pad(feats_sorted, ((0, vpad - v), (0, 0)))
         bounds = jnp.arange(ntiles + 1, dtype=jnp.int32) * tile
         starts = jnp.searchsorted(rows_sorted, bounds, side="left").astype(jnp.int32)
@@ -273,9 +281,9 @@ def _scatter_fwd_impl(
                     memory_space=pltpu.VMEM,
                 ),
             ),
-            out_shape=jax.ShapeDtypeStruct((nrows, c), feats.dtype),
+            out_shape=jax.ShapeDtypeStruct((nrows_pad, c), feats.dtype),
             interpret=interpret,
         )(starts, rows_sorted[None, :], feats_sorted)
-        return canvas.reshape(nx, ny, c)
+        return canvas[:nrows].reshape(nx, ny, c)
 
     return jnp.stack([one(pillar_features[i], coors[i]) for i in range(b)])

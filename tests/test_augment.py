@@ -162,3 +162,62 @@ class TestFullChain:
         b2, p2 = agm.augment_sample(points.copy(), boxes.copy(), rng=np.random.RandomState(2))
         assert b2.shape == boxes.shape and p2.shape == points.shape
         assert np.isfinite(b2).all() and np.isfinite(p2).all()
+
+
+class TestDeviceGlobalAugment:
+    """The on-device jnp global transforms must match the host numpy chain
+    elementwise when driven with identical parameters."""
+
+    def _host_apply(self, points, boxes, p):
+        pts, bxs = points.copy().astype(np.float64), boxes.copy().astype(np.float64)
+        if p["flip"]:
+            bxs[:, 1] = -bxs[:, 1]
+            bxs[:, 6] = -bxs[:, 6]
+            pts[:, 1] = -pts[:, 1]
+        for ang, axis in ((p["pitch"], 1), (p["roll"], 0), (p["yaw"], 2)):
+            pts[:, :3] = agm.rotation_points_single_angle_np(pts[:, :3], ang, axis=axis)
+            bxs[:, :3] = agm.rotation_points_single_angle_np(bxs[:, :3], ang, axis=axis)
+        bxs[:, 6] += p["yaw"]
+        sx, sy, sz = p["scale"]
+        pts[:, :3] *= p["scale"]
+        bxs[:, :3] *= p["scale"]
+        yaw = bxs[:, 6]
+        bxs[:, 3] *= np.sqrt((sx * np.cos(yaw)) ** 2 + (sy * np.sin(yaw)) ** 2)
+        bxs[:, 4] *= np.sqrt((sx * np.sin(yaw)) ** 2 + (sy * np.cos(yaw)) ** 2)
+        bxs[:, 5] *= sz
+        bxs[:, 6] = np.arctan(np.tan(yaw) * (sy / sx))
+        pts[:, :3] += p["translate"]
+        bxs[:, :3] += p["translate"]
+        return pts, bxs
+
+    @pytest.mark.parametrize("flip", [False, True])
+    def test_matches_host_with_identical_params(self, flip):
+        import jax.numpy as jnp
+
+        boxes, points = scene(7)
+        params = {
+            "flip": jnp.asarray(flip),
+            "pitch": jnp.float32(0.03),
+            "roll": jnp.float32(-0.02),
+            "yaw": jnp.float32(0.4),
+            "scale": jnp.asarray([1.05, 0.93, 1.02], jnp.float32),
+            "translate": jnp.asarray([0.1, -0.2, 0.05], jnp.float32),
+        }
+        dp, db = agm.apply_global_augment(
+            jnp.asarray(points), jnp.asarray(boxes), params
+        )
+        hp, hb = self._host_apply(
+            points, boxes,
+            {k: np.asarray(v) for k, v in params.items()},
+        )
+        np.testing.assert_allclose(np.asarray(dp), hp, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(db), hb, rtol=1e-4, atol=1e-4)
+
+    def test_sampled_end_to_end_jits(self):
+        import jax
+
+        boxes, points = scene(8)
+        fn = jax.jit(agm.global_augment_device)
+        p2, b2 = fn(points, boxes, jax.random.PRNGKey(3))
+        assert p2.shape == points.shape and b2.shape == boxes.shape
+        assert np.isfinite(np.asarray(p2)).all() and np.isfinite(np.asarray(b2)).all()

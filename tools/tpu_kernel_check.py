@@ -59,6 +59,25 @@ def main() -> None:
     np.testing.assert_array_equal(got, want)
     print("scatter_to_bev_s2d_pallas: OK")
 
+    # --- non-production-divisor grid (round-2 advisor): nrows that no large
+    # tile divides must still pick a sublane-aligned tile and pad rows -------
+    nxo, nyo = 30, 30  # nrows=900: NO multiple-of-8 divides → tile=8 + row pad
+    vo = 640
+    feats_o = jnp.asarray(r.randn(1, vo, c), jnp.bfloat16)
+    coors_o = np.full((1, vo, 3), -1, np.int32)
+    cells_o = r.choice(nxo * nyo, 500, replace=False)
+    coors_o[0, :500, 0] = cells_o // nyo
+    coors_o[0, :500, 1] = cells_o % nyo
+    coors_o[0, :500, 2] = 0
+    out = scatter_to_bev_pallas(feats_o, jnp.asarray(coors_o), (nxo, nyo))
+    got = np.asarray(out[0], np.float32).reshape(nxo * nyo, c)
+    want_o = np.zeros((nxo * nyo, c), np.float32)
+    want_o[cells_o] = np.asarray(feats_o[0, :500], np.float32)
+    np.testing.assert_array_equal(got, want_o)
+    out = scatter_to_bev_s2d_pallas(feats_o, jnp.asarray(coors_o), (nxo, nyo))
+    out.block_until_ready()
+    print("scatter odd-grid (30x30, tile-8 row pad): OK")
+
     # --- assign_class_pallas at the vehicle-class production shape -----------
     from det3d_tpu.kernels.matcher_pallas import assign_class_pallas
 
