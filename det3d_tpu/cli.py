@@ -87,6 +87,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--out", default="shots/")
     p.add_argument("--anchors", action="store_true")
     p.add_argument("--voxels", action="store_true")
+    p.add_argument(
+        "--image", action="store_true",
+        help="also render the camera-image panel with projected 3D boxes "
+        "(requires img_path + calib in the info)",
+    )
 
     p = sub.add_parser("create-info", help="dataset indexer (reference create_info.py)")
     p.add_argument("--root", required=True)
@@ -167,7 +172,7 @@ def main(argv: list[str] | None = None) -> None:
         start, stop = (int(v) for v in args.frames.split(":"))
         paths = viewer.export_frames(
             range(start, min(stop, len(viewer))), args.out,
-            show_anchors=args.anchors, show_voxels=args.voxels,
+            show_anchors=args.anchors, show_voxels=args.voxels, image=args.image,
         )
         print(f"wrote {len(paths)} frames → {args.out}")
     elif args.cmd == "export":

@@ -99,11 +99,41 @@ class SceneViewer:
         r.title(f"frame {info.get('image_idx', idx)}")
         return r.save(out_path)
 
+    def render_image_frame(self, idx: int, out_path: str | Path) -> Path:
+        """Camera panel: the frame's image with projected 3D gt/detection
+        wireframes (the reference viewer shows this panel by default,
+        reference viewer.py:230-235). Requires img_path + calib in the info;
+        gt annos are already lidar-frame (create_info converts at index
+        time), which is what the projection expects."""
+        import matplotlib.image as mpimg
+
+        from det3d_tpu.viewer.render import render_image_overlay
+
+        info = self.infos[idx]
+        if "img_path" not in info:
+            raise ValueError(f"frame {idx}: info has no img_path (lidar-only dataset?)")
+        if "calib/P2" not in info:
+            raise ValueError(f"frame {idx}: info has no calib — cannot project boxes")
+        image = mpimg.imread(str(Path(self.cfg.data_root) / info["img_path"]))
+
+        gt_boxes = None
+        if "annos" in info:
+            gt_boxes, _ = _annos_to_boxes(info["annos"])
+        dt_boxes = None
+        if self.dt_annos is not None:
+            dt_boxes, _ = _annos_to_boxes(self.dt_annos[idx])
+        return render_image_overlay(
+            image, info, gt_boxes=gt_boxes, dt_boxes=dt_boxes, out_path=out_path
+        )
+
     def export_frames(
-        self, indices, out_dir: str | Path, **kw
+        self, indices, out_dir: str | Path, *, image: bool = False, **kw
     ) -> list[Path]:
         out_dir = Path(out_dir)
-        return [
-            self.render_frame(i, out_dir / f"{self.infos[i].get('image_idx', i):06d}.png", **kw)
-            for i in indices
-        ]
+        paths = []
+        for i in indices:
+            stem = f"{self.infos[i].get('image_idx', i):06d}"
+            paths.append(self.render_frame(i, out_dir / f"{stem}.png", **kw))
+            if image:
+                paths.append(self.render_image_frame(i, out_dir / f"{stem}_cam.png"))
+        return paths

@@ -343,3 +343,51 @@ class TestViewerImageOverlay:
         ]
         paths = render_sequence(frames, tmp_path / "seq", detection_range=(-20, -20, 20, 20))
         assert len(paths) == 3 and all(p.exists() for p in paths)
+
+    def test_cli_view_image_renders_bev_and_camera_panels(self, tmp_path):
+        """`cli view --image` writes a BEV png AND a camera-overlay png per
+        frame (the reference viewer's default image panel, viewer.py:230-235)."""
+        import pickle
+
+        import matplotlib.image as mpimg
+
+        from det3d_tpu import cli
+
+        root = tmp_path / "data"
+        (root / "velodyne").mkdir(parents=True)
+        pts = np.random.RandomState(0).rand(500, 4).astype(np.float32) * 20 - 10
+        pts.tofile(root / "velodyne" / "000000.bin")
+        (root / "image_2").mkdir()
+        mpimg.imsave(root / "image_2" / "000000.png", np.zeros((480, 640, 3), np.uint8))
+
+        info = {
+            "image_idx": 0,
+            "velodyne_path": "velodyne/000000.bin",
+            "img_path": "image_2/000000.png",
+            "img_shape": (480, 640),
+            "annos": {
+                "name": np.array(["vehicle"]),
+                "location": np.array([[10.0, 0.0, -1.0]]),
+                "dimensions": np.array([[4.0, 2.0, 1.6]]),
+                "rotation_y": np.array([0.3]),
+                "score": np.zeros(1),
+            },
+            **self._calib(),
+        }
+        with open(root / "data_info.pkl", "wb") as f:
+            pickle.dump([info], f)
+
+        cfg_path = tmp_path / "cfg.json"
+        cfg_path.write_text(
+            '{"data_root": "%s", "detection_range": [-16.0, -16.0, -2.5, 16.0, 16.0, 8.5],'
+            ' "voxel_size": [1.0, 1.0, 11.0], "max_voxels": 256, "max_num_points": 5,'
+            ' "max_points": 2048}' % root
+        )
+        out = tmp_path / "shots"
+        cli.main([
+            "view", "--config", str(cfg_path), "--info", "data_info.pkl",
+            "--frames", "0:1", "--out", str(out), "--image",
+        ])
+        assert (out / "000000.png").exists()
+        assert (out / "000000_cam.png").exists()
+        assert (out / "000000_cam.png").stat().st_size > 0
