@@ -38,30 +38,16 @@ def synthetic_cloud(max_points: int, n: int, seed: int = 0) -> np.ndarray:
     return pts
 
 
-def main() -> None:
-    import argparse
-
+def measure(config_path: str, iters: int) -> dict:
+    """Measure one geometry; returns {p50_ms, thru_ms, windows}."""
     import jax
-
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="configs/ntusl_20cm.json")
-    ap.add_argument("--iters", type=int, default=48)
-    args = ap.parse_args()
-
-    # persistent compile cache: the remote AOT helper takes ~10 min cold on
-    # the full pipeline; cached compiles load in seconds
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    except Exception:
-        pass
 
     from det3d_tpu.config import load_config
     from det3d_tpu.pipeline import Detector
 
     num_real_points = 100_000
     num_clouds = 8
-    cfg = load_config(args.config, max_points=120_000)
+    cfg = load_config(config_path, max_points=120_000)
     det = Detector(cfg)
     variables = det.init_variables(jax.random.PRNGKey(0))
 
@@ -75,7 +61,6 @@ def main() -> None:
     jax.block_until_ready(fn(variables, clouds[0], n))  # compile
 
     # per-call latency, synced every frame, distinct inputs
-    iters = args.iters
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
@@ -95,10 +80,57 @@ def main() -> None:
         outs = [fn(variables, clouds[i % num_clouds], n) for i in range(iters)]
         jax.block_until_ready(outs)
         windows.append((time.perf_counter() - t0) / iters * 1000)
-    thru_ms = min(windows)
-    fps = 1000.0 / thru_ms
+    return {
+        "p50_ms": p50_ms,
+        "thru_ms": min(windows),
+        "windows": [round(w, 3) for w in windows],
+        "points": num_real_points,
+    }
 
+
+def main() -> None:
+    import argparse
+
+    import jax
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/ntusl_20cm.json")
+    ap.add_argument("--iters", type=int, default=48)
+    ap.add_argument(
+        "--skip-10cm", action="store_true",
+        help="measure only --config (default runs also record ntusl_10cm "
+        "in extra so the second production geometry stays driver-visible)",
+    )
+    args = ap.parse_args()
+
+    # persistent compile cache: the remote AOT helper takes ~10 min cold on
+    # the full pipeline; cached compiles load in seconds
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+    primary = measure(args.config, args.iters)
+    thru_ms = primary["thru_ms"]
     target_ms = 10.0
+
+    extra = {
+        "pipelined_windows_ms": primary["windows"],
+        "latency_p50_synced_ms": round(primary["p50_ms"], 3),
+        "fps_per_chip_pipelined": round(1000.0 / thru_ms, 1),
+        "points": primary["points"],
+        "config": args.config.split("/")[-1].rsplit(".", 1)[0],
+        "baseline": "10ms north-star target (reference publishes no numbers)",
+    }
+    if not args.skip_10cm and "ntusl_20cm" in args.config:
+        ten = measure("configs/ntusl_10cm.json", max(args.iters // 2, 8))
+        extra["ntusl_10cm"] = {
+            "e2e_frame_time_pipelined_ms": round(ten["thru_ms"], 3),
+            "pipelined_windows_ms": ten["windows"],
+            "latency_p50_synced_ms": round(ten["p50_ms"], 3),
+        }
+
     print(
         json.dumps(
             {
@@ -109,14 +141,7 @@ def main() -> None:
                 "value": round(thru_ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(target_ms / thru_ms, 3),
-                "extra": {
-                    "pipelined_windows_ms": [round(w, 3) for w in windows],
-                    "latency_p50_synced_ms": round(p50_ms, 3),
-                    "fps_per_chip_pipelined": round(fps, 1),
-                    "points": num_real_points,
-                    "config": args.config.split("/")[-1].rsplit(".", 1)[0],
-                    "baseline": "10ms north-star target (reference publishes no numbers)",
-                },
+                "extra": extra,
             }
         )
     )

@@ -32,12 +32,22 @@ def infer(
     out_path: str | None = None,
     seed: int = 1,
     batch: int = 1,
+    exact_topk: bool = False,
 ) -> dict:
-    """Returns {"dt_annos", "gt_annos", "eval_strs", "avg_ms"}."""
+    """Returns {"dt_annos", "gt_annos", "eval_strs", "avg_ms"}.
+
+    `exact_topk=True` forces exact pre-NMS top-k (postprocess.PostProcessParams
+    approx_topk=False) — the escape hatch for bit-exact parity runs and the
+    approx-vs-exact mAP A/B."""
     from det3d_tpu.apps.train_app import _eval_samples
     from det3d_tpu.eval.ap import get_official_eval_result
 
-    det = Detector(cfg)
+    pp = None
+    if exact_topk:
+        from det3d_tpu.postprocess import PostProcessParams
+
+        pp = PostProcessParams(approx_topk=False)
+    det = Detector(cfg, postprocess_params=pp)
     if checkpoint:
         from det3d_tpu.train.checkpoint import CheckpointManager
         from det3d_tpu.train.trainer import Trainer

@@ -61,6 +61,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--batch", type=int, default=1, help="vmapped batch size (amortizes dispatch latency)")
     p.add_argument("--breakdown", action="store_true")
     p.add_argument("--out", default=None)
+    p.add_argument(
+        "--exact-topk", action="store_true",
+        help="exact pre-NMS top-k instead of the TPU-default bucketed "
+        "approximation (parity runs / approx-vs-exact mAP A/B)",
+    )
 
     p = sub.add_parser("eval", help="official mAP from pickled annos (reference eval/)")
     add_common(p)
@@ -153,6 +158,7 @@ def main(argv: list[str] | None = None) -> None:
                 breakdown=args.breakdown,
                 out_path=args.out,
                 batch=args.batch,
+                exact_topk=args.exact_topk,
             )
     elif args.cmd == "eval":
         import pickle

@@ -40,24 +40,25 @@ _CHUNK = 128  # pillar chunk per matmul; = lane width, keeps slices aligned
 def _canvas_kernel(starts_ref, rows_ref, feats_ref, out_ref, *, tile: int):
     # starts arrives via scalar prefetch (SMEM): chunk loop bounds are cheap
     # scalar reads; rows live in VMEM as a (1, Vpad) lane vector for the
-    # one-hot compare
-    k = pl.program_id(0)
+    # one-hot compare. Grid (batch, ntiles): one pallas_call for the batch.
+    bi = pl.program_id(0)
+    k = pl.program_id(1)
     out_ref[:] = jnp.zeros_like(out_ref)
-    lo = starts_ref[k]
-    hi = starts_ref[k + 1]
+    lo = starts_ref[bi, k]
+    hi = starts_ref[bi, k + 1]
     base = k * tile
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, _CHUNK), 0) + base
 
     def body(j, _):
         a = pl.multiple_of(j * _CHUNK, _CHUNK)
-        rchunk = rows_ref[0:1, pl.ds(a, _CHUNK)]        # (1, 128) int32
-        fchunk = feats_ref[pl.ds(a, _CHUNK), :]         # (128, C)
+        rchunk = rows_ref[0, 0:1, pl.ds(a, _CHUNK)]     # (1, 128) int32
+        fchunk = feats_ref[0, pl.ds(a, _CHUNK), :]      # (128, C)
         onehot = (row_ids == rchunk).astype(fchunk.dtype)
         hit = jax.lax.dot_general(
             onehot, fchunk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        out_ref[:] += hit.astype(out_ref.dtype)
+        out_ref[0] += hit.astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(lo // _CHUNK, (hi + _CHUNK - 1) // _CHUNK, body, 0)
@@ -84,19 +85,25 @@ def _canvas_s2d_kernel(starts_ref, rows_ref, phase_ref, feats_ref, out_ref, *, t
     """4-phase space-to-depth variant: canvas tile (T, 4C), pillar (r2, p)
     lands at row r2, lane block p·C — the phase placement happens by widening
     the feats chunk (masked per-phase copies) before ONE one-hot matmul, the
-    same MAC count as four per-phase matmuls but a single MXU dispatch."""
-    k = pl.program_id(0)
+    same MAC count as four per-phase matmuls but a single MXU dispatch.
+
+    Grid is (batch, ntiles): the whole batch runs in ONE pallas_call (a
+    per-sample python loop + stack cost an extra full-canvas copy and B
+    dispatches; the rows/phase/feats blocks are batch-indexed, the per-tile
+    output block is (1, tile, 4C))."""
+    bi = pl.program_id(0)
+    k = pl.program_id(1)
     out_ref[:] = jnp.zeros_like(out_ref)
-    lo = starts_ref[k]
-    hi = starts_ref[k + 1]
+    lo = starts_ref[bi, k]
+    hi = starts_ref[bi, k + 1]
     base = k * tile
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, _CHUNK), 0) + base
 
     def body(j, _):
         a = pl.multiple_of(j * _CHUNK, _CHUNK)
-        rchunk = rows_ref[0:1, pl.ds(a, _CHUNK)]        # (1, 128) int32
-        pchunk = phase_ref[0:1, pl.ds(a, _CHUNK)]       # (1, 128) int32
-        fchunk = feats_ref[pl.ds(a, _CHUNK), :]         # (128, C)
+        rchunk = rows_ref[0, 0:1, pl.ds(a, _CHUNK)]     # (1, 128) int32
+        pchunk = phase_ref[0, 0:1, pl.ds(a, _CHUNK)]    # (1, 128) int32
+        fchunk = feats_ref[0, pl.ds(a, _CHUNK), :]      # (128, C)
         wide = jnp.concatenate(
             [
                 jnp.where(pchunk.T == p, fchunk, jnp.zeros_like(fchunk))
@@ -109,7 +116,7 @@ def _canvas_s2d_kernel(starts_ref, rows_ref, phase_ref, feats_ref, out_ref, *, t
             onehot, wide, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        out_ref[:] += hit.astype(out_ref.dtype)
+        out_ref[0] += hit.astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(lo // _CHUNK, (hi + _CHUNK - 1) // _CHUNK, body, 0)
@@ -134,16 +141,20 @@ def _scatter_s2d_fwd(pillar_features, coors, grid_xy, interpret):
 
 
 def _scatter_s2d_bwd(grid_xy, interpret, coors, g):
+    # 4D gather straight off the (B, nx/2, ny/2, 4, C) cotangent — only the
+    # minor-axis (4C)→(4,C) split, which is layout-free. A flat
+    # (B, nrows·4, C) reshape here forced full-canvas relayout copies under
+    # the training graph's space-to-batch conv layouts (round-3 trace).
     nx, ny = grid_xy
     b, v, _ = coors.shape
     c = g.shape[-1] // 4
-    g2d = g.reshape(b, (nx // 2) * (ny // 2), 4, c)
+    g5 = g.reshape(b, nx // 2, ny // 2, 4, c)
     valid = coors[..., 0] >= 0
-    rows = jnp.where(valid, (coors[..., 0] // 2) * (ny // 2) + coors[..., 1] // 2, 0)
+    x2 = jnp.where(valid, coors[..., 0] // 2, 0)
+    y2 = jnp.where(valid, coors[..., 1] // 2, 0)
     phase = jnp.where(valid, (coors[..., 0] % 2) * 2 + coors[..., 1] % 2, 0)
-    flat = rows * 4 + phase
-    g3d = g2d.reshape(b, -1, c)
-    dfeats = jnp.take_along_axis(g3d, flat[..., None], axis=1)
+    bi = jnp.arange(b, dtype=jnp.int32)[:, None]
+    dfeats = g5[bi, x2, y2, phase]                      # (B, V, C)
     return jnp.where(valid[..., None], dfeats, 0.0), None
 
 
@@ -167,7 +178,7 @@ def _scatter_s2d_fwd_impl(
     ntiles = nrows_pad // tile
     vpad = ((v + _CHUNK - 1) // _CHUNK) * _CHUNK
 
-    def one(feats, crs):
+    def prep(feats, crs):
         valid = crs[:, 0] >= 0
         rows = jnp.where(valid, (crs[:, 0] // 2) * ny2 + crs[:, 1] // 2, nrows_pad)
         phase = jnp.where(valid, (crs[:, 0] % 2) * 2 + crs[:, 1] % 2, 0)
@@ -183,28 +194,36 @@ def _scatter_s2d_fwd_impl(
             feats_sorted = jnp.pad(feats_sorted, ((0, vpad - v), (0, 0)))
         bounds = jnp.arange(ntiles + 1, dtype=jnp.int32) * tile
         starts = jnp.searchsorted(rows_sorted, bounds, side="left").astype(jnp.int32)
+        return starts, rows_sorted, phase_sorted, feats_sorted
 
-        canvas = pl.pallas_call(
-            functools.partial(_canvas_s2d_kernel, tile=tile),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(ntiles,),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.VMEM),  # rows (1, Vpad)
-                    pl.BlockSpec(memory_space=pltpu.VMEM),  # phase (1, Vpad)
-                    pl.BlockSpec(memory_space=pltpu.VMEM),  # feats (Vpad, C)
-                ],
-                out_specs=pl.BlockSpec(
-                    (tile, 4 * c), lambda k, starts: (k, 0),
-                    memory_space=pltpu.VMEM,
-                ),
+    starts, rows_s, phase_s, feats_s = jax.vmap(prep)(pillar_features, coors)
+
+    canvas = pl.pallas_call(
+        functools.partial(_canvas_s2d_kernel, tile=tile),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # starts (B, ntiles+1) → SMEM
+            grid=(b, ntiles),
+            in_specs=[
+                # rows/phase carry a dummy middle dim: Mosaic requires the
+                # LAST TWO block dims be (8,128)-divisible or full-size, so
+                # (1, 1, vpad) blocks of a (B, 1, vpad) array are legal where
+                # (1, vpad) blocks of (B, vpad) are not (B>1 train shapes)
+                pl.BlockSpec((1, 1, vpad), lambda bi, k, starts: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),       # rows
+                pl.BlockSpec((1, 1, vpad), lambda bi, k, starts: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),       # phase
+                pl.BlockSpec((1, vpad, c), lambda bi, k, starts: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),       # feats
+            ],
+            out_specs=pl.BlockSpec(
+                (1, tile, 4 * c), lambda bi, k, starts: (bi, k, 0),
+                memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((nrows_pad, 4 * c), feats.dtype),
-            interpret=interpret,
-        )(starts, rows_sorted[None, :], phase_sorted[None, :], feats_sorted)
-        return canvas[:nrows].reshape(nx2, ny2, 4 * c)
-
-    return jnp.stack([one(pillar_features[i], coors[i]) for i in range(b)])
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nrows_pad, 4 * c), pillar_features.dtype),
+        interpret=interpret,
+    )(starts, rows_s[:, None, :], phase_s[:, None, :], feats_s)
+    return canvas[:, :nrows].reshape(b, nx2, ny2, 4 * c)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -227,14 +246,15 @@ def _scatter_fwd(pillar_features, coors, grid_xy, interpret):
 
 
 def _scatter_bwd(grid_xy, interpret, coors, g):
-    nx, ny = grid_xy
-    b, v, _ = coors.shape
-    c = g.shape[-1]
-    g2d = g.reshape(b, nx * ny, c)
-    rows = jnp.where(coors[..., 0] >= 0, coors[..., 0] * ny + coors[..., 1], 0)
-    dfeats = jnp.take_along_axis(g2d, rows[..., None], axis=1)
-    dfeats = jnp.where(coors[..., 0:1] >= 0, dfeats, 0.0)
-    return dfeats, None
+    # 4D gather off (B, nx, ny, C) directly — no flat reshape (layout copies
+    # under space-to-batch conv layouts; see _scatter_s2d_bwd)
+    b = coors.shape[0]
+    valid = coors[..., 0] >= 0
+    x = jnp.where(valid, coors[..., 0], 0)
+    y = jnp.where(valid, coors[..., 1], 0)
+    bi = jnp.arange(b, dtype=jnp.int32)[:, None]
+    dfeats = g[bi, x, y]
+    return jnp.where(valid[..., None], dfeats, 0.0), None
 
 
 scatter_to_bev_pallas.defvjp(_scatter_fwd, _scatter_bwd)
@@ -255,7 +275,7 @@ def _scatter_fwd_impl(
     ntiles = nrows_pad // tile
     vpad = ((v + _CHUNK - 1) // _CHUNK) * _CHUNK
 
-    def one(feats, crs):
+    def prep(feats, crs):
         rows = jnp.where(crs[:, 0] >= 0, crs[:, 0] * ny + crs[:, 1], nrows_pad)
         rows_sorted, perm = jax.lax.sort(
             (rows.astype(jnp.int32), jnp.arange(v, dtype=jnp.int32)), num_keys=1
@@ -266,24 +286,28 @@ def _scatter_fwd_impl(
             feats_sorted = jnp.pad(feats_sorted, ((0, vpad - v), (0, 0)))
         bounds = jnp.arange(ntiles + 1, dtype=jnp.int32) * tile
         starts = jnp.searchsorted(rows_sorted, bounds, side="left").astype(jnp.int32)
+        return starts, rows_sorted, feats_sorted
 
-        canvas = pl.pallas_call(
-            functools.partial(_canvas_kernel, tile=tile),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,  # starts (ntiles+1,) → SMEM
-                grid=(ntiles,),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.VMEM),  # rows (1, Vpad)
-                    pl.BlockSpec(memory_space=pltpu.VMEM),  # feats (Vpad, C)
-                ],
-                out_specs=pl.BlockSpec(
-                    (tile, c), lambda k, starts: (k, 0),
-                    memory_space=pltpu.VMEM,
-                ),
+    starts, rows_s, feats_s = jax.vmap(prep)(pillar_features, coors)
+
+    canvas = pl.pallas_call(
+        functools.partial(_canvas_kernel, tile=tile),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # starts (B, ntiles+1) → SMEM
+            grid=(b, ntiles),
+            in_specs=[
+                # (1, 1, vpad) dummy-middle-dim block — see the s2d variant
+                pl.BlockSpec((1, 1, vpad), lambda bi, k, starts: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),       # rows
+                pl.BlockSpec((1, vpad, c), lambda bi, k, starts: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),       # feats
+            ],
+            out_specs=pl.BlockSpec(
+                (1, tile, c), lambda bi, k, starts: (bi, k, 0),
+                memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((nrows_pad, c), feats.dtype),
-            interpret=interpret,
-        )(starts, rows_sorted[None, :], feats_sorted)
-        return canvas[:nrows].reshape(nx, ny, c)
-
-    return jnp.stack([one(pillar_features[i], coors[i]) for i in range(b)])
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nrows_pad, c), pillar_features.dtype),
+        interpret=interpret,
+    )(starts, rows_s[:, None, :], feats_s)
+    return canvas[:, :nrows].reshape(b, nx, ny, c)

@@ -128,17 +128,27 @@ def detection_loss(
     # -- localization: (B, 7, A) channel-major for full-lane elementwise ---
     box_p = preds["box_preds"].astype(jnp.float32)  # already channel-major
     reg_t = reg_targets.astype(jnp.float32)  # already channel-major
-    # sin-difference angle encoding on the yaw channel
-    yaw_p = box_p[:, 6:7] ; yaw_t = reg_t[:, 6:7]
-    box_p = jnp.concatenate([box_p[:, :6], jnp.sin(yaw_p) * jnp.cos(yaw_t)], axis=1)
-    reg_t = jnp.concatenate([reg_t[:, :6], jnp.cos(yaw_p) * jnp.sin(yaw_t)], axis=1)
-    diff = box_p - reg_t
-    abs_diff = jnp.abs(diff)
-    cut = 1.0 / 9.0  # sigma = 3
-    lt = (abs_diff <= cut).astype(jnp.float32)
-    l1 = lt * 0.5 * jnp.square(abs_diff * 3.0) + (abs_diff - 0.5 * cut) * (1.0 - lt)
+    # sin-difference angle encoding on the yaw channel: the reference forms
+    # sin(p)cos(t) and cos(p)sin(t) and subtracts inside the smooth-L1
+    # (loss_generator.py:122-128); their difference IS sin(p−t), so compute
+    # that directly — one transcendental instead of four and no channel
+    # concatenates (which forced extra (B,7,A) f32 materializations; same
+    # value and same gradient cos(p−t) up to fp rounding)
+    def smooth_l1(d):
+        ad = jnp.abs(d)
+        cut = 1.0 / 9.0  # sigma = 3
+        lt = (ad <= cut).astype(jnp.float32)
+        return lt * 0.5 * jnp.square(ad * 3.0) + (ad - 0.5 * cut) * (1.0 - lt)
+
+    diff6 = box_p[:, :6] - reg_t[:, :6]
+    diff_yaw = jnp.sin(box_p[:, 6] - reg_t[:, 6])
     loc_loss_reduced = (
-        jnp.sum(l1 * reg_weights[:, None, :]) / batch * weights.loc_weight
+        (
+            jnp.sum(smooth_l1(diff6) * reg_weights[:, None, :])
+            + jnp.sum(smooth_l1(diff_yaw) * reg_weights)
+        )
+        / batch
+        * weights.loc_weight
     )
 
     # -- direction: explicit 2-logit softmax CE on (B, A) slices -----------

@@ -190,11 +190,17 @@ def scatter_to_bev_s2d(
 
 
 def _in_moments(x: jax.Array, packed: bool):
-    """Per-(sample, channel) mean and rsqrt(var+eps), f32, (B, C) each."""
+    """Per-(sample, channel) mean and rsqrt(var+eps), f32, (B, C) each.
+
+    Reduces the 4D map over (1, 2) directly — NO reshape to (b, h·w, c):
+    under the space-to-batch conv layouts the training graph runs in, that
+    reshape is layout-incompatible and XLA materializes an 85 MB f32 copy
+    per IN layer (round-3 trace: ~0.25 ms copies at this line times ~20
+    layers); the 4D reduce works on the s2b layout in place."""
     b, h, w, c = x.shape
-    xf = x.reshape(b, h * w, c).astype(jnp.float32)
-    s1 = jnp.sum(xf, axis=1)
-    s2 = jnp.sum(xf * xf, axis=1)
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=(1, 2))
+    s2 = jnp.sum(xf * xf, axis=(1, 2))
     if packed:
         c2 = c // 2
         s1 = s1[:, :c2] + s1[:, c2:]
@@ -213,9 +219,10 @@ def _in_moments(x: jax.Array, packed: bool):
 
 
 def _reduce_cc(a: jax.Array, packed: bool, n) -> jax.Array:
-    """Per-(sample, channel) mean of a map, with the packed parity merge."""
+    """Per-(sample, channel) mean of a map, with the packed parity merge.
+    4D reduce, no (b, h·w, c) reshape — see _in_moments."""
     b, h, w, c = a.shape
-    s = jnp.sum(a.reshape(b, h * w, c).astype(jnp.float32), axis=1)
+    s = jnp.sum(a.astype(jnp.float32), axis=(1, 2))
     if packed:
         c2 = c // 2
         s = s[:, :c2] + s[:, c2:]
@@ -653,14 +660,18 @@ class SharedHead(nn.Module):
         wf = jnp.concatenate([w_cls, w_box, w_dir], axis=1)  # (cin, A·10)
         bf = jnp.concatenate([b_cls, b_box, b_dir])
 
-        x2d = x.reshape(n, h * w, cin).astype(dt)
-        # (A·10, cin) x (N, HW, cin) contracted on cin → (A·10, N, HW)
+        # (A·10, cin) x (N, H, W, cin) contracted on cin → (A·10, N, H, W).
+        # The dot consumes the 4D map DIRECTLY — no (n, h·w, cin) reshape:
+        # under training's space-to-batch conv layouts that reshape
+        # materialized two 205 MB copies (round-3 trace, ~1.4 ms); the
+        # (h, w)→hw merge below happens on the dot's own minor-contiguous
+        # output instead, where it is layout-free.
         yt = jax.lax.dot_general(
-            wf.T.astype(dt), x2d, (((1,), (2,)), ((), ())),
+            wf.T.astype(dt), x.astype(dt), (((1,), (3,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        yt = (yt + bf[:, None, None]).astype(dt)
-        yt = yt.transpose(1, 0, 2)  # (N, A·10, HW) — row permutation only
+        yt = (yt + bf[:, None, None, None]).astype(dt)
+        yt = yt.transpose(1, 0, 2, 3).reshape(n, a * (1 + code + 2), h * w)
 
         hw_ = h * w
         cls = yt[:, : a].reshape(n, 1, a * hw_)

@@ -59,6 +59,19 @@ def main() -> None:
     np.testing.assert_array_equal(got, want)
     print("scatter_to_bev_s2d_pallas: OK")
 
+    # --- batch-2 (training shape): Mosaic's last-two-block-dims rule differs
+    # for B>1 arrays — a b=1-only check once passed while the train step
+    # failed to lower -----------------------------------------------------
+    feats2 = jnp.concatenate([feats, feats * 2], axis=0)
+    coors2 = np.concatenate([coors, coors], axis=0)
+    out = scatter_to_bev_s2d_pallas(feats2, jnp.asarray(coors2), (nx, ny))
+    out.block_until_ready()
+    got2 = np.asarray(out[1], np.float32).reshape((nx // 2) * (ny // 2), 4, c)
+    np.testing.assert_array_equal(got2, want * 2)
+    out = scatter_to_bev_pallas(feats2, jnp.asarray(coors2), (nx, ny))
+    out.block_until_ready()
+    print("scatter batch-2: OK")
+
     # --- non-production-divisor grid (round-2 advisor): nrows that no large
     # tile divides must still pick a sublane-aligned tile and pad rows -------
     nxo, nyo = 30, 30  # nrows=900: NO multiple-of-8 divides → tile=8 + row pad
