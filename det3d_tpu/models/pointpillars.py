@@ -198,6 +198,9 @@ def _in_moments(x: jax.Array, packed: bool):
     per IN layer (round-3 trace: ~0.25 ms copies at this line times ~20
     layers); the 4D reduce works on the s2b layout in place."""
     b, h, w, c = x.shape
+    # (measured, round 3: splitting these into independent dtype=f32 reduce
+    # expressions to avoid the shared f32 map changed nothing — XLA emits
+    # the same fusions either way; keep the straightforward form)
     xf = x.astype(jnp.float32)
     s1 = jnp.sum(xf, axis=(1, 2))
     s2 = jnp.sum(xf * xf, axis=(1, 2))
@@ -661,11 +664,15 @@ class SharedHead(nn.Module):
         bf = jnp.concatenate([b_cls, b_box, b_dir])
 
         # (A·10, cin) x (N, H, W, cin) contracted on cin → (A·10, N, H, W).
-        # The dot consumes the 4D map DIRECTLY — no (n, h·w, cin) reshape:
-        # under training's space-to-batch conv layouts that reshape
-        # materialized two 205 MB copies (round-3 trace, ~1.4 ms); the
-        # (h, w)→hw merge below happens on the dot's own minor-contiguous
-        # output instead, where it is layout-free.
+        # The dot consumes the 4D map directly — no (n, h·w, cin) reshape
+        # (which materialized extra copies under the training graph's
+        # space-to-batch layouts); the (h, w)→hw merge below happens on the
+        # dot's own minor-contiguous output where it is layout-free.
+        # MEASURED ALTERNATIVE (round 3, rejected): running the head as a
+        # 1x1 conv_general so it rides the space-to-batch transform was
+        # SLOWER on both paths (10cm inference 25.8→29.1 ms, train
+        # 63.9→67.8 ms) — the 90-channel output transpose+relayout out of
+        # s2b form costs more than the dot's input handling. Keep the dot.
         yt = jax.lax.dot_general(
             wf.T.astype(dt), x.astype(dt), (((1,), (3,)), ((), ())),
             preferred_element_type=jnp.float32,
