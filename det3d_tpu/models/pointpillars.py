@@ -189,28 +189,16 @@ def scatter_to_bev_s2d(
     return out.reshape(b, nx // 2, ny // 2, 4 * c)
 
 
-def _in_moments(x: jax.Array, packed: bool):
-    """Per-(sample, channel) mean and rsqrt(var+eps), f32, (B, C) each.
-
-    Reduces the 4D map over (1, 2) directly — NO reshape to (b, h·w, c):
-    under the space-to-batch conv layouts the training graph runs in, that
-    reshape is layout-incompatible and XLA materializes an 85 MB f32 copy
-    per IN layer (round-3 trace: ~0.25 ms copies at this line times ~20
-    layers); the 4D reduce works on the s2b layout in place."""
-    b, h, w, c = x.shape
-    # (measured, round 3: splitting these into independent dtype=f32 reduce
-    # expressions to avoid the shared f32 map changed nothing — XLA emits
-    # the same fusions either way; keep the straightforward form)
-    xf = x.astype(jnp.float32)
-    s1 = jnp.sum(xf, axis=(1, 2))
-    s2 = jnp.sum(xf * xf, axis=(1, 2))
+def _moments_from_sums(s1: jax.Array, s2: jax.Array, hw: int, packed: bool):
+    """(B, C) f32 sums → per-(sample, channel) mean and rsqrt(var+eps),
+    with the packed-parity merge on the tiny (B, C) tensors."""
     if packed:
-        c2 = c // 2
+        c2 = s1.shape[-1] // 2
         s1 = s1[:, :c2] + s1[:, c2:]
         s2 = s2[:, :c2] + s2[:, c2:]
-        n = jnp.array(h * w * 2, jnp.float32)
+        n = jnp.array(hw * 2, jnp.float32)
     else:
-        n = jnp.array(h * w, jnp.float32)
+        n = jnp.array(hw, jnp.float32)
     mean = s1 / n                                     # (b, c) or (b, c/2)
     m2 = s2 / n
     var = jnp.maximum(m2 - jnp.square(mean), 0.0)
@@ -219,6 +207,25 @@ def _in_moments(x: jax.Array, packed: bool):
         mean = jnp.concatenate([mean, mean], axis=-1)
         inv = jnp.concatenate([inv, inv], axis=-1)
     return mean, inv, n
+
+
+def _in_moments(x: jax.Array, packed: bool):
+    """Per-(sample, channel) mean and rsqrt(var+eps), f32, (B, C) each.
+
+    Plain XLA sums ON PURPOSE (see the _instance_norm docstring): on the
+    inference path they fuse into the producing conv's epilogue for ~free.
+    The TRAINING path (custom-VJP fwd/bwd below) uses the Pallas streaming
+    kernels instead — there the sums appear as standalone column reduces
+    running ~7-10x off HBM bandwidth (round-3 trace, post-s2b-fence).
+
+    Reduces the 4D map over (1, 2) directly — NO reshape to (b, h·w, c):
+    under space-to-batch conv layouts that reshape is layout-incompatible
+    and XLA materializes an 85 MB f32 copy per IN layer."""
+    b, h, w, c = x.shape
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=(1, 2))
+    s2 = jnp.sum(xf * xf, axis=(1, 2))
+    return _moments_from_sums(s1, s2, h * w, packed)
 
 
 def _reduce_cc(a: jax.Array, packed: bool, n) -> jax.Array:
@@ -269,6 +276,11 @@ def _instance_norm(x: jax.Array, name: str, packed: bool = False) -> jax.Array:
 
 
 def _in_fwd(x, name, packed):
+    # Plain XLA sums here too — MEASURED (round 3, post-s2b-fence): swapping
+    # in Pallas streaming-stat kernels made the step SLOWER (48.7 → 54.5
+    # ms/step with fwd+bwd kernels, 52.4 with fwd-only): the "slow" column
+    # reduces are in fact multi-output-fused with neighboring passes, and a
+    # custom call un-fuses them into extra full-map HBM reads.
     mean, inv, n = _in_moments(x, packed)
     inv_c = inv[:, None, None].astype(x.dtype)
     y = (x - mean[:, None, None].astype(x.dtype)) * inv_c

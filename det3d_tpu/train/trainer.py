@@ -50,8 +50,11 @@ class TrainBatch(NamedTuple):
 
 
 class Trainer:
-    def __init__(self, cfg: Config, detector: Detector | None = None):
+    def __init__(
+        self, cfg: Config, detector: Detector | None = None, *, s2b_fence: bool = True
+    ):
         self.cfg = cfg
+        self.use_s2b_fence = s2b_fence
         self.detector = detector or Detector(cfg)
         self.assigner = make_target_assigner(cfg, self.detector.anchor_set)
         # lr lives inside opt_state (inject_hyperparams) so a resumed run can
@@ -129,12 +132,32 @@ class Trainer:
                 train=True,
                 mutable=["batch_stats"],
             )
+            if self.use_s2b_fence:
+                # deliberate no-op custom call: keeps XLA's space-to-batch
+                # conv transform OUT of the training graph, where it costs
+                # far more in relayout copies + fusion fragmentation than
+                # the b>=2 convs gain (kernels/fence_pallas.py; the batch-1
+                # inference path keeps the transform — it wins there).
+                # Fencing cls_preds alone suffices: every RPN conv feeds it
+                # through the shared trunk, and it is the smallest head
+                # output (measured: 63.9 → 54.9 ms/step with all three
+                # fenced; the box/dir fences only added copy cost).
+                from det3d_tpu.kernels.fence_pallas import s2b_fence
+
+                preds = dict(preds, cls_preds=s2b_fence(preds["cls_preds"]))
             loss_dict = losses.detection_loss(
                 preds, tgt.labels, tgt.bbox_targets, tgt.dir_targets
             )
             return loss_dict["loss"], (loss_dict, updates["batch_stats"], preds)
 
         grads, (loss_dict, new_stats, preds) = jax.grad(loss_fn, has_aux=True)(state.params)
+        if self.use_s2b_fence:
+            # the forward fence only covers convs upstream of the loss; the
+            # wgrad convolutions' outputs are the grads themselves — fence
+            # them so the backward convs skip space-to-batch as well
+            from det3d_tpu.kernels.fence_pallas import fence_any
+
+            grads = jax.tree.map(fence_any, grads)
         updates, new_opt_state = self.optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = binary_counts(tgt.labels, preds["cls_preds"])

@@ -134,6 +134,17 @@ def main() -> None:
     jax.block_until_ready(keep)
     print("greedy_nms_pallas: OK")
 
+    # --- s2b fence at the train-step shapes ----------------------------------
+    from det3d_tpu.kernels.fence_pallas import fence_any, s2b_fence
+
+    x = jnp.asarray(r.randn(2, 1, 1_440_000), jnp.bfloat16)  # cls_preds b=2
+    y = s2b_fence(x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+    for shape in ((3, 3, 256, 256), (90,), (320, 90)):  # gradient leaves
+        g = jnp.asarray(r.randn(*shape), jnp.float32)
+        np.testing.assert_array_equal(np.asarray(fence_any(g)), np.asarray(g))
+    print("s2b_fence / fence_any: OK")
+
     print("ALL KERNELS COMPILE AND RUN ON", jax.default_backend())
 
 
