@@ -109,6 +109,10 @@ class Config:
     #                                  the torch transplant are unaffected)
     max_gt_boxes: int = 64           # static per-class gt budget for on-device targets
     compute_dtype: str = "bfloat16"  # conv/matmul compute dtype ("float32" for parity runs)
+    fuse_in_stats: bool = True       # inference: upsample-branch IN stats from input
+    #                                  Gram matrices so normalize+relu fuses into the
+    #                                  deconv epilogue (packed path only; train and
+    #                                  parity runs can disable for exact round-2 math)
 
     # ---- derived (reference: framework/voxel_generator.py:7-15) ----
     detection_range: tuple[float, ...] = ()
@@ -249,6 +253,7 @@ def load_config(path: str | Path | dict, **overrides: Any) -> Config:
         compute_dtype=get("compute_dtype", "bfloat16"),
         head=get("head", "shared"),
         pack_w=bool(get("pack_w", True)),
+        fuse_in_stats=bool(get("fuse_in_stats", True)),
     )
     cfg = _with_derived(cfg)
     # The feature map is ALWAYS the voxel grid at half resolution: the shared

@@ -122,25 +122,37 @@ def _canvas_s2d_kernel(starts_ref, rows_ref, phase_ref, feats_ref, out_ref, *, t
     jax.lax.fori_loop(lo // _CHUNK, (hi + _CHUNK - 1) // _CHUNK, body, 0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def scatter_to_bev_s2d_pallas(
     pillar_features: jax.Array,  # (B, V, C)
     coors: jax.Array,            # (B, V, 3) int32, -1 rows dropped
     grid_xy: tuple[int, int],
     interpret: bool = False,
+    w_major: bool = False,
 ) -> jax.Array:                  # (B, nx/2, ny/2, 4C)
     """Pillar scatter directly into the 4-phase space-to-depth canvas
     (phase = (x%2)·2 + y%2, channel block phase·C) consumed by the packed
     entry conv (models/pointpillars.PackedConv kind='entry'). Differentiable
-    like scatter_to_bev_pallas (transpose = per-pillar row/lane gather)."""
-    return _scatter_s2d_fwd_impl(pillar_features, coors, grid_xy, interpret)
+    like scatter_to_bev_pallas (transpose = per-pillar row/lane gather).
+
+    `w_major=True` emits the canvas physically W-major ([W][H][C] memory,
+    flat row = y2·nx2 + x2) and returns the logical (B, nx2, ny2, 4C) via a
+    transpose: XLA's space-to-batch transform wants exactly the W-major
+    layout for the batch-1 entry conv operand, so layout assignment folds
+    the transpose into the operand layout and the full-canvas H↔W relayout
+    copy between the custom call and the conv disappears. Train-path
+    callers (space-to-batch fenced out) keep the default H-major order."""
+    return _scatter_s2d_fwd_impl(pillar_features, coors, grid_xy, interpret, w_major)
 
 
-def _scatter_s2d_fwd(pillar_features, coors, grid_xy, interpret):
-    return _scatter_s2d_fwd_impl(pillar_features, coors, grid_xy, interpret), coors
+def _scatter_s2d_fwd(pillar_features, coors, grid_xy, interpret, w_major):
+    return (
+        _scatter_s2d_fwd_impl(pillar_features, coors, grid_xy, interpret, w_major),
+        coors,
+    )
 
 
-def _scatter_s2d_bwd(grid_xy, interpret, coors, g):
+def _scatter_s2d_bwd(grid_xy, interpret, w_major, coors, g):
     # 4D gather straight off the (B, nx/2, ny/2, 4, C) cotangent — only the
     # minor-axis (4C)→(4,C) split, which is layout-free. A flat
     # (B, nrows·4, C) reshape here forced full-canvas relayout copies under
@@ -161,12 +173,13 @@ def _scatter_s2d_bwd(grid_xy, interpret, coors, g):
 scatter_to_bev_s2d_pallas.defvjp(_scatter_s2d_fwd, _scatter_s2d_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("grid_xy", "interpret"))
+@functools.partial(jax.jit, static_argnames=("grid_xy", "interpret", "w_major"))
 def _scatter_s2d_fwd_impl(
     pillar_features: jax.Array,
     coors: jax.Array,
     grid_xy: tuple[int, int],
     interpret: bool = False,
+    w_major: bool = False,
 ) -> jax.Array:
     nx, ny = grid_xy
     assert nx % 2 == 0 and ny % 2 == 0
@@ -180,7 +193,10 @@ def _scatter_s2d_fwd_impl(
 
     def prep(feats, crs):
         valid = crs[:, 0] >= 0
-        rows = jnp.where(valid, (crs[:, 0] // 2) * ny2 + crs[:, 1] // 2, nrows_pad)
+        if w_major:
+            rows = jnp.where(valid, (crs[:, 1] // 2) * nx2 + crs[:, 0] // 2, nrows_pad)
+        else:
+            rows = jnp.where(valid, (crs[:, 0] // 2) * ny2 + crs[:, 1] // 2, nrows_pad)
         phase = jnp.where(valid, (crs[:, 0] % 2) * 2 + crs[:, 1] % 2, 0)
         rows_sorted, phase_sorted, perm = jax.lax.sort(
             (rows.astype(jnp.int32), phase.astype(jnp.int32),
@@ -223,6 +239,8 @@ def _scatter_s2d_fwd_impl(
         out_shape=jax.ShapeDtypeStruct((b, nrows_pad, 4 * c), pillar_features.dtype),
         interpret=interpret,
     )(starts, rows_s[:, None, :], phase_s[:, None, :], feats_s)
+    if w_major:
+        return canvas[:, :nrows].reshape(b, ny2, nx2, 4 * c).swapaxes(1, 2)
     return canvas[:, :nrows].reshape(b, nx2, ny2, 4 * c)
 
 

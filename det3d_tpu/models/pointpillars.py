@@ -304,6 +304,33 @@ def _in_bwd(name, packed, res, g):
 _instance_norm.defvjp(_in_fwd, _in_bwd)
 
 
+def _gram_moments(x: jax.Array, kf: jax.Array, n_out: int):
+    """IN statistics of `pixel_shuffle(x @ kf)` computed WITHOUT the fine
+    map: per logical output channel o (kf columns grouped [phase][o]),
+      s1_o = Σ_ph (Σ_hw x) · kf[:, ph, o]
+      s2_o = Σ_ph kf[:, ph, o]ᵀ (Σ_hw x xᵀ) kf[:, ph, o]
+    The Gram matrix Σ x xᵀ is a tiny (C, C) MXU matmul over the COARSE
+    input, so the statistics no longer depend on the materialized deconv
+    output — the reduction barrier between the deconv matmul and the
+    normalize pass disappears and XLA fuses normalize+relu into the
+    pixel-shuffle copy (measured: the separate multiply-maximum passes over
+    the fine branch maps vanish from the trace).
+
+    x: (B, H, W, C); kf: f32 (C, P, O) with P phases; n_out = fine element
+    count per channel. Returns (mean, inv) f32 (B, O) exactly as
+    `_in_moments` computes on the fine map (up to f32 association)."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.sum(xf, axis=(1, 2))                         # (B, C)
+    gram = jnp.einsum("bhwc,bhwd->bcd", xf, xf)           # (B, C, C)
+    s1 = jnp.einsum("bc,cpo->bo", sx, kf)
+    gk = jnp.einsum("bcd,dpo->bcpo", gram, kf)
+    s2 = jnp.einsum("cpo,bcpo->bo", kf, gk)
+    n = jnp.array(n_out, jnp.float32)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
+    return mean, jax.lax.rsqrt(var + 1e-3)
+
+
 class DeconvUpsample(nn.Module):
     """ConvTranspose(k=S, stride=S, VALID) as a 1x1 matmul + depth-to-space.
 
@@ -311,12 +338,19 @@ class DeconvUpsample(nn.Module):
     factors exactly into `x @ W.reshape(C, S·S·O)` followed by a
     pixel-shuffle — one big MXU matmul instead of XLA's dilated-conv
     lowering (~2x faster here). Parameter-compatible with nn.ConvTranspose:
-    the kernel keeps its (S, S, C, O) shape and layout."""
+    the kernel keeps its (S, S, C, O) shape and layout.
+
+    `fuse_in_relu=True` (inference) additionally applies the branch's
+    InstanceNorm + ReLU inline, with the statistics computed from the
+    input's Gram matrix (`_gram_moments`) instead of the materialized fine
+    map — IN is stateless (affine=False) so this adds no parameters and the
+    epilogue is pure elementwise, fusing into the matmul/pixel-shuffle."""
 
     features: int
     stride: int
     compute_dtype: Any = jnp.bfloat16
     packed_out: bool = False  # emit the w-parity packed layout (H·s, W·s/2, 2O)
+    fuse_in_relu: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -330,9 +364,14 @@ class DeconvUpsample(nn.Module):
         )
         # lax.conv_transpose applies the spatially-flipped kernel; flip here
         # so parameters are bit-compatible with nn.ConvTranspose checkpoints
-        k = kernel[::-1, ::-1].astype(self.compute_dtype).reshape(s * s, c, o)
-        k = k.transpose(1, 0, 2).reshape(c, s * s * o)
+        kf = kernel[::-1, ::-1].reshape(s * s, c, o).transpose(1, 0, 2)
+        k = kf.astype(self.compute_dtype).reshape(c, s * s * o)
         y = x.astype(self.compute_dtype) @ k                 # (b, h, w, s*s*o)
+        if self.fuse_in_relu:
+            mean, inv = _gram_moments(x, kf, h * w * s * s)
+            scale = jnp.tile(inv, (1, s * s)).astype(y.dtype)      # (b, s·s·o)
+            shift = jnp.tile(-mean * inv, (1, s * s)).astype(y.dtype)
+            y = jnp.maximum(y * scale[:, None, None] + shift[:, None, None], 0)
         y = y.reshape(b, h, w, s, s, o)
         y = y.transpose(0, 1, 3, 2, 4, 5)                    # (b, h, s, w, s, o)
         if self.packed_out:
@@ -522,11 +561,16 @@ class PackedConv(nn.Module):
 
 class PackedPointwise(nn.Module):
     """1x1 conv on a packed map: block-diagonal (2C, 2O) kernel from the
-    reference-shaped (1,1,C,O) parameter (parities never mix in a 1x1)."""
+    reference-shaped (1,1,C,O) parameter (parities never mix in a 1x1).
+
+    `fuse_in_relu=True` applies the branch InstanceNorm + ReLU inline with
+    Gram-matrix statistics (see DeconvUpsample): the two parity blocks are
+    the "phases" of `_gram_moments`, reproducing the packed stats merge."""
 
     features: int
     in_channels: int
     compute_dtype: Any = jnp.bfloat16
+    fuse_in_relu: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -551,6 +595,21 @@ class PackedPointwise(nn.Module):
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+        if self.fuse_in_relu:
+            b, h, w2, _ = x.shape
+            # block-diag columns split per parity phase: phase p's column for
+            # logical channel o is w in rows [p·C, (p+1)·C), zero elsewhere
+            kf = jnp.stack(
+                [
+                    jnp.concatenate([w[0, 0], zeros], axis=0),
+                    jnp.concatenate([zeros, w[0, 0]], axis=0),
+                ],
+                axis=1,
+            )                                              # (2C, 2, O)
+            mean, inv = _gram_moments(x, kf, h * w2 * 2)
+            scale = jnp.tile(inv, (1, 2)).astype(y.dtype)
+            shift = jnp.tile(-mean * inv, (1, 2)).astype(y.dtype)
+            y = jnp.maximum(y * scale[:, None, None] + shift[:, None, None], 0)
         return y
 
 
@@ -567,6 +626,8 @@ class RPN(nn.Module):
     num_upsample_filters: tuple[int, ...] = (64, 128, 128)
     pack_w: bool = False  # input is the s2d canvas (B, H/2, W/2, 4C); block0
     #                       and the upsample branches run w-parity packed
+    fuse_in_stats: bool = False  # inference: branch IN stats via Gram matrices
+    #                       (requires pack_w) — see _gram_moments
 
     @property
     def out_channels(self) -> int:
@@ -606,22 +667,28 @@ class RPN(nn.Module):
                 )(x)
 
             u = x
+            fuse = self.fuse_in_stats and self.pack_w
             if up_stride > 1:
                 u = DeconvUpsample(
                     up_width, up_stride, self.compute_dtype,
-                    packed_out=self.pack_w, name=f"deconv{b}",
+                    packed_out=self.pack_w, fuse_in_relu=fuse,
+                    name=f"deconv{b}",
                 )(u)
             elif self.pack_w:
                 u = PackedPointwise(
-                    up_width, width, self.compute_dtype, name=f"deconv{b}"
+                    up_width, width, self.compute_dtype, fuse_in_relu=fuse,
+                    name=f"deconv{b}",
                 )(u)
             else:
                 u = nn.Conv(
                     up_width, (1, 1), use_bias=False, dtype=self.compute_dtype,
                     name=f"deconv{b}",
                 )(u)
-            u = _instance_norm(u, f"deconv{b}_in", packed=self.pack_w)
-            ups.append(nn.relu(u))
+            if fuse:
+                ups.append(u)  # IN + ReLU already applied inline (Gram stats)
+            else:
+                u = _instance_norm(u, f"deconv{b}_in", packed=self.pack_w)
+                ups.append(nn.relu(u))
         if self.pack_w:
             # parity-outer concat + reshape: out[h, 2·w2+p, :] must be the
             # per-original-column 320 channels, so slice each branch's parity
@@ -802,7 +869,14 @@ class PointPillars(nn.Module):
             if on_tpu:
                 from det3d_tpu.kernels.scatter_pallas import scatter_to_bev_s2d_pallas
 
-                canvas = scatter_to_bev_s2d_pallas(pillar_features, coors, grid_xy)
+                # inference: emit the canvas physically W-major — the layout
+                # XLA's space-to-batch wants for the batch-1 entry conv, so
+                # the full-canvas H↔W relayout copy is folded away. Training
+                # fences space-to-batch out (train/trainer.py) and keeps the
+                # H-major order the unfenced convs prefer.
+                canvas = scatter_to_bev_s2d_pallas(
+                    pillar_features, coors, grid_xy, False, not train
+                )
             else:
                 canvas = scatter_to_bev_s2d(pillar_features, coors, grid_xy)
         elif on_tpu:
@@ -811,7 +885,16 @@ class PointPillars(nn.Module):
             canvas = scatter_to_bev_pallas(pillar_features, coors, grid_xy)
         else:
             canvas = scatter_to_bev(pillar_features, coors, grid_xy)
-        rpn_features = RPN(compute_dtype=dtype, pack_w=pack, name="rpn")(canvas)
+        # Gram-stat fused branch INs: inference-only (training keeps the
+        # analytic-VJP _instance_norm path that the 48.7 ms step was tuned
+        # around), packed-only, and config-gated for A/B (`fuse_in_stats`).
+        fuse_stats = (
+            pack and not train and getattr(self.cfg, "fuse_in_stats", True)
+        )
+        rpn_features = RPN(
+            compute_dtype=dtype, pack_w=pack, fuse_in_stats=fuse_stats,
+            name="rpn",
+        )(canvas)
         if getattr(self.cfg, "head", "shared") == "multi":
             return MultiHead(
                 anchors_per_class=tuple(

@@ -57,7 +57,11 @@ def main() -> None:
         feats[0, :12000], np.float32
     )
     np.testing.assert_array_equal(got, want)
-    print("scatter_to_bev_s2d_pallas: OK")
+    out = scatter_to_bev_s2d_pallas(feats, jnp.asarray(coors), (nx, ny), False, True)
+    out.block_until_ready()
+    got_wm = np.asarray(out[0], np.float32).reshape((nx // 2) * (ny // 2), 4, c)
+    np.testing.assert_array_equal(got_wm, want)
+    print("scatter_to_bev_s2d_pallas (+w_major): OK")
 
     # --- batch-2 (training shape): Mosaic's last-two-block-dims rule differs
     # for B>1 arrays — a b=1-only check once passed while the train step
