@@ -212,15 +212,22 @@ def _moments_from_sums(s1: jax.Array, s2: jax.Array, hw: int, packed: bool):
 def _in_moments(x: jax.Array, packed: bool):
     """Per-(sample, channel) mean and rsqrt(var+eps), f32, (B, C) each.
 
-    Plain XLA sums ON PURPOSE (see the _instance_norm docstring): on the
-    inference path they fuse into the producing conv's epilogue for ~free.
-    The TRAINING path (custom-VJP fwd/bwd below) uses the Pallas streaming
-    kernels instead — there the sums appear as standalone column reduces
-    running ~7-10x off HBM bandwidth (round-3 trace, post-s2b-fence).
+    Plain XLA sums ON PURPOSE, on BOTH paths (see _instance_norm/_in_fwd):
+    inference fuses them into conv epilogues or cheap multi-output reduce
+    fusions; training measured SLOWER with Pallas streaming-stat kernels.
 
     Reduces the 4D map over (1, 2) directly — NO reshape to (b, h·w, c):
     under space-to-batch conv layouts that reshape is layout-incompatible
-    and XLA materializes an 85 MB f32 copy per IN layer."""
+    and XLA materializes an 85 MB f32 copy per IN layer.
+
+    REJECTED (round 3, measured): computing both sums via ONE augmented-Gram
+    MXU dot (pad a constant-1 channel; border row = Σx, diagonal = Σx²) to
+    attack the ~2.5 ms of standalone 10 cm IN-stat reduce fusions. The
+    dot_general contracting (1, 2) forces every block/residual map OUT of
+    its space-to-batch conv layout first — a full-map relayout copy per IN
+    site: 20 cm 6.94 → 8.79, 10 cm 25.4 → 31.4 ms/frame. The branch INs'
+    `_gram_moments` survives because it contracts the COARSE pre-deconv map
+    (not an s2b conv operand) and kills a real reduction barrier."""
     b, h, w, c = x.shape
     xf = x.astype(jnp.float32)
     s1 = jnp.sum(xf, axis=(1, 2))
