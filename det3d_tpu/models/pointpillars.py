@@ -358,6 +358,8 @@ class DeconvUpsample(nn.Module):
     compute_dtype: Any = jnp.bfloat16
     packed_out: bool = False  # emit the w-parity packed layout (H·s, W·s/2, 2O)
     fuse_in_relu: bool = False
+    split_parity: bool = False  # emit ((H·s, W·s/2, O) per col parity) instead
+    #                             of one packed tensor — see RPN neck concat
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -380,6 +382,20 @@ class DeconvUpsample(nn.Module):
             shift = jnp.tile(-mean * inv, (1, s * s)).astype(y.dtype)
             y = jnp.maximum(y * scale[:, None, None] + shift[:, None, None], 0)
         y = y.reshape(b, h, w, s, s, o)
+        if self.split_parity:
+            # inference neck form: one tensor PER column parity, sliced
+            # BEFORE the pixel-shuffle transpose so each relayout copy moves
+            # half the bytes, and the downstream concat consumes plain
+            # operands (no slice-of-transpose chains). Fine col w·s + s_w has
+            # parity s_w % 2 and packed col (w·s + s_w)//2 = w·(s//2) + s_w//2,
+            # so the kept s_w//2 axis lands minor-adjacent to w — a pure
+            # reshape after the row-interleave transpose.
+            parts = []
+            for p in (0, 1):
+                yp = y[:, :, :, :, p::2, :]                  # (b, h, w, s, s/2, o)
+                yp = yp.transpose(0, 1, 3, 2, 4, 5)          # (b, h, s, w, s/2, o)
+                parts.append(yp.reshape(b, h * s, w * (s // 2), o))
+            return tuple(parts)
         y = y.transpose(0, 1, 3, 2, 4, 5)                    # (b, h, s, w, s, o)
         if self.packed_out:
             # (w, s_w, o) regrouped as (w·s/2, (s_w%2)·O + o): the same
@@ -578,6 +594,7 @@ class PackedPointwise(nn.Module):
     in_channels: int
     compute_dtype: Any = jnp.bfloat16
     fuse_in_relu: bool = False
+    split_parity: bool = False  # emit per-parity channel halves (see RPN neck)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -617,6 +634,9 @@ class PackedPointwise(nn.Module):
             scale = jnp.tile(inv, (1, 2)).astype(y.dtype)
             shift = jnp.tile(-mean * inv, (1, 2)).astype(y.dtype)
             y = jnp.maximum(y * scale[:, None, None] + shift[:, None, None], 0)
+        if self.split_parity:
+            o = self.features
+            return y[..., :o], y[..., o:]
         return y
 
 
@@ -679,12 +699,12 @@ class RPN(nn.Module):
                 u = DeconvUpsample(
                     up_width, up_stride, self.compute_dtype,
                     packed_out=self.pack_w, fuse_in_relu=fuse,
-                    name=f"deconv{b}",
+                    split_parity=fuse, name=f"deconv{b}",
                 )(u)
             elif self.pack_w:
                 u = PackedPointwise(
                     up_width, width, self.compute_dtype, fuse_in_relu=fuse,
-                    name=f"deconv{b}",
+                    split_parity=fuse, name=f"deconv{b}",
                 )(u)
             else:
                 u = nn.Conv(
@@ -698,15 +718,22 @@ class RPN(nn.Module):
                 ups.append(nn.relu(u))
         if self.pack_w:
             # parity-outer concat + reshape: out[h, 2·w2+p, :] must be the
-            # per-original-column 320 channels, so slice each branch's parity
-            # block, concatenate p-major, and merge (w2, p) — the concat's
-            # data movement performs the unpack; no extra relayout exists
-            n, hh, w2, _ = ups[0].shape
-            parts = [
-                u[..., p * bw : (p + 1) * bw]
-                for p in (0, 1)
-                for u, bw in zip(ups, self.num_upsample_filters)
-            ]
+            # per-original-column 320 channels, so concatenate the branches'
+            # parity parts p-major and merge (w2, p) — the concat's data
+            # movement performs the unpack; no extra relayout exists
+            if self.fuse_in_stats:
+                # inference: branches arrive pre-split per parity (slice
+                # BEFORE the pixel-shuffle transpose — half-size relayout
+                # copies, plain concat operands)
+                n, hh, w2, _ = ups[0][0].shape
+                parts = [u[p] for p in (0, 1) for u in ups]
+            else:
+                n, hh, w2, _ = ups[0].shape
+                parts = [
+                    u[..., p * bw : (p + 1) * bw]
+                    for p in (0, 1)
+                    for u, bw in zip(ups, self.num_upsample_filters)
+                ]
             cat = jnp.concatenate(parts, axis=-1)      # (B, H, W/2, 2·320)
             return cat.reshape(n, hh, w2 * 2, self.out_channels)
         return jnp.concatenate(ups, axis=-1)
