@@ -655,6 +655,10 @@ class RPN(nn.Module):
     #                       and the upsample branches run w-parity packed
     fuse_in_stats: bool = False  # inference: branch IN stats via Gram matrices
     #                       (requires pack_w) — see _gram_moments
+    split_out: bool = False  # packed only: return per-column-parity concats
+    #                       ((B, H, W/2, 320) x 2) instead of the merged map —
+    #                       SharedHead contracts them directly (two dots) and
+    #                       the full-map unpack relayout never materializes
 
     @property
     def out_channels(self) -> int:
@@ -717,24 +721,33 @@ class RPN(nn.Module):
                 u = _instance_norm(u, f"deconv{b}_in", packed=self.pack_w)
                 ups.append(nn.relu(u))
         if self.pack_w:
-            # parity-outer concat + reshape: out[h, 2·w2+p, :] must be the
-            # per-original-column 320 channels, so concatenate the branches'
-            # parity parts p-major and merge (w2, p) — the concat's data
-            # movement performs the unpack; no extra relayout exists
             if self.fuse_in_stats:
                 # inference: branches arrive pre-split per parity (slice
                 # BEFORE the pixel-shuffle transpose — half-size relayout
                 # copies, plain concat operands)
                 n, hh, w2, _ = ups[0][0].shape
-                parts = [u[p] for p in (0, 1) for u in ups]
+                per_p = [[u[p] for u in ups] for p in (0, 1)]
             else:
                 n, hh, w2, _ = ups[0].shape
-                parts = [
-                    u[..., p * bw : (p + 1) * bw]
+                per_p = [
+                    [
+                        u[..., p * bw : (p + 1) * bw]
+                        for u, bw in zip(ups, self.num_upsample_filters)
+                    ]
                     for p in (0, 1)
-                    for u, bw in zip(ups, self.num_upsample_filters)
                 ]
-            cat = jnp.concatenate(parts, axis=-1)      # (B, H, W/2, 2·320)
+            if self.split_out:
+                # one (B, H, W/2, 320) concat PER column parity: the head
+                # contracts each directly and interleaves its own 90-channel
+                # output — the (B, H, W/2, 640) → (B, H, W, 320) unpack
+                # relayout of the full neck map (1.4 ms/frame at 10 cm,
+                # reshape.535 in the round-3 trace) never exists
+                return tuple(jnp.concatenate(ps, axis=-1) for ps in per_p)
+            # parity-outer concat + reshape: out[h, 2·w2+p, :] must be the
+            # per-original-column 320 channels, so concatenate the branches'
+            # parity parts p-major and merge (w2, p) — the concat's data
+            # movement performs the unpack; no extra relayout exists
+            cat = jnp.concatenate(per_p[0] + per_p[1], axis=-1)
             return cat.reshape(n, hh, w2 * 2, self.out_channels)
         return jnp.concatenate(ups, axis=-1)
 
@@ -762,8 +775,13 @@ class SharedHead(nn.Module):
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
-        n, h, w, cin = x.shape
+    def __call__(
+        self, x: jax.Array | tuple[jax.Array, jax.Array]
+    ) -> dict[str, jax.Array]:
+        parity_split = isinstance(x, tuple)
+        n, h, w, cin = (x[0] if parity_split else x).shape
+        if parity_split:
+            w *= 2
         a, code = self.num_anchor_per_loc, self.box_code_size
         dt = self.compute_dtype
 
@@ -786,12 +804,24 @@ class SharedHead(nn.Module):
         # SLOWER on both paths (10cm inference 25.8→29.1 ms, train
         # 63.9→67.8 ms) — the 90-channel output transpose+relayout out of
         # s2b form costs more than the dot's input handling. Keep the dot.
-        yt = jax.lax.dot_general(
-            wf.T.astype(dt), x.astype(dt), (((1,), (3,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        yt = (yt + bf[:, None, None, None]).astype(dt)
-        yt = yt.transpose(1, 0, 2, 3).reshape(n, a * (1 + code + 2), h * w)
+        def head_dot(feats):
+            yt = jax.lax.dot_general(
+                wf.T.astype(dt), feats.astype(dt), (((1,), (3,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return (yt + bf[:, None, None, None]).astype(dt)
+
+        if parity_split:
+            # packed neck form: one dot per column parity over its own
+            # (N, H, W/2, 320) concat, interleaved on the 90-channel OUTPUT
+            # ((A·10, N, H, W/2) x 2 → stack minor → w = 2·w2 + p) — ~3.6x
+            # fewer relayout bytes than unpacking the 640-channel neck map
+            yts = [head_dot(xp) for xp in x]
+            yt = jnp.stack(yts, axis=-1)               # (A·10, N, H, W/2, 2)
+            yt = yt.transpose(1, 0, 2, 3, 4).reshape(n, a * (1 + code + 2), h * w)
+        else:
+            yt = head_dot(x)
+            yt = yt.transpose(1, 0, 2, 3).reshape(n, a * (1 + code + 2), h * w)
 
         hw_ = h * w
         cls = yt[:, : a].reshape(n, 1, a * hw_)
@@ -925,11 +955,17 @@ class PointPillars(nn.Module):
         fuse_stats = (
             pack and not train and getattr(self.cfg, "fuse_in_stats", True)
         )
+        shared_head = getattr(self.cfg, "head", "shared") == "shared"
+        # split_out is inference-only: in training the two half-width head
+        # dots + the backward of the output interleave measured +1.9 ms/step
+        # (b=2, 50.6 vs 48.7) while the merged concat path's bwd is a plain
+        # split — the win only exists where the neck map has no consumers
+        # besides the head (20 cm inference 6.23 -> 5.96 ms device)
         rpn_features = RPN(
             compute_dtype=dtype, pack_w=pack, fuse_in_stats=fuse_stats,
-            name="rpn",
+            split_out=pack and shared_head and not train, name="rpn",
         )(canvas)
-        if getattr(self.cfg, "head", "shared") == "multi":
+        if not shared_head:
             return MultiHead(
                 anchors_per_class=tuple(
                     s.num_anchors_per_loc for s in self.cfg.class_specs

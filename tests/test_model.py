@@ -231,6 +231,41 @@ class TestGramINStats:
                 err_msg=k,
             )
 
+    def test_split_out_head_matches_merged(self):
+        """The per-parity neck emission + two-dot SharedHead (split_out, the
+        packed production path) must match the merged-map single-dot form:
+        both contract the same 320 channels — only the relayout of the neck
+        map moves to the 90-channel head output. (The neck halves are exact;
+        head preds are allclose-tight: XLA vectorizes the f32 contraction
+        differently for the half-width operand.)"""
+        from det3d_tpu.models.pointpillars import RPN, SharedHead
+
+        r = np.random.RandomState(7)
+        x = jnp.asarray(r.randn(1, 8, 4, 16).astype(np.float32))
+        kw = dict(compute_dtype=jnp.float32, pack_w=True,
+                  num_filters=(8, 12, 16), num_upsample_filters=(8, 12, 12))
+        for fuse in (False, True):
+            rpn_m = RPN(fuse_in_stats=fuse, split_out=False, **kw)
+            rpn_s = RPN(fuse_in_stats=fuse, split_out=True, **kw)
+            v = rpn_m.init(jax.random.PRNGKey(0), x)
+            merged = rpn_m.apply(v, x)
+            split = rpn_s.apply(v, x)
+            assert isinstance(split, tuple) and len(split) == 2
+            # the split halves ARE the merged map's column parities
+            np.testing.assert_array_equal(np.asarray(split[0]),
+                                          np.asarray(merged[:, :, 0::2]))
+            np.testing.assert_array_equal(np.asarray(split[1]),
+                                          np.asarray(merged[:, :, 1::2]))
+            head = SharedHead(num_anchor_per_loc=9, compute_dtype=jnp.float32)
+            hv = head.init(jax.random.PRNGKey(1), merged)
+            out_m = head.apply(hv, merged)
+            out_s = head.apply(hv, split)
+            for k in out_m:
+                np.testing.assert_allclose(
+                    np.asarray(out_m[k]), np.asarray(out_s[k]),
+                    rtol=1e-5, atol=1e-6, err_msg=k,
+                )
+
     def test_train_path_never_fuses(self):
         """Training must keep the analytic-VJP _instance_norm graph: the
         fused-stat epilogue has no custom VJP and would change the tuned
