@@ -8,7 +8,8 @@ Exact functional port of the reference's loss generator semantics
 direction softmax with per-anchor positive weights (:56-63).
 
 All math is plain `jnp` on logits coming out of the model; per-batch-element
-structure matches the reference's; layouts are channel-major (B, k, A).
+structure matches the reference's; layouts are spatial channel-major
+(B, k, nch, fx, fy) — see detection_loss for the layout rationale.
 """
 
 from __future__ import annotations
@@ -81,27 +82,35 @@ def prepare_loss_weights(labels: jax.Array):
     negatives = labels == 0
     cls_weights = negatives.astype(jnp.float32) + positives.astype(jnp.float32)
     reg_weights = positives.astype(jnp.float32)
-    pos_normalizer = jnp.sum(positives.astype(jnp.float32), axis=1, keepdims=True)
+    # per-SAMPLE positive count: sum over every anchor axis (labels may be
+    # flat (B, A) or spatial (B, nch, fx, fy) — the math is identical)
+    anchor_axes = tuple(range(1, labels.ndim))
+    pos_normalizer = jnp.sum(
+        positives.astype(jnp.float32), axis=anchor_axes, keepdims=True
+    )
     pos_normalizer = jnp.maximum(pos_normalizer, 1.0)
     return cls_weights / pos_normalizer, reg_weights / pos_normalizer, cared
 
 
 def detection_loss(
     preds: dict[str, jax.Array],
-    labels: jax.Array,        # (B, A) int32
-    reg_targets: jax.Array,   # (B, 7, A) channel-major (targets.py contract)
-    dir_targets: jax.Array,   # (B, A) int32
+    labels: jax.Array,        # (B, nch, fx, fy) int32 (or legacy flat (B, A))
+    reg_targets: jax.Array,   # (B, 7, nch, fx, fy) channel-major
+    dir_targets: jax.Array,   # (B, nch, fx, fy) int32
     weights: LossWeights = LossWeights(),
 ) -> dict[str, jax.Array]:
     """Total detection loss + components (reference:
     framework/loss_generator.py:26-72).
 
     TPU layout note: all million-anchor elementwise math runs on shapes with
-    the anchor axis MINOR ((B, A) / (B, 7, A)) — the natural (B, A, k≤7)
-    shapes put only k elements in the 128-lane dimension and were ~10x
-    slower. The model emits preds channel-major ((B, k, A)) for the same
-    reason, so no transpose happens here. Same math, reassociated
-    reductions only.
+    the anchor k axis MAJOR and the spatial axes minor ((B, nch, fx, fy) /
+    (B, 7, nch, fx, fy)) — the natural (B, A, k≤7) shapes put only k
+    elements in the 128-lane dimension and were ~10x slower, and the
+    spatial (fx, fy) minors match the head dot's own output layout so no
+    flat-form relayout of the 10-channel million-anchor maps exists between
+    the model and the loss. Legacy flat (B, A) targets still work: every op
+    is elementwise or a full-anchor-axes reduction. Same math as the
+    reference, reassociated reductions only.
     """
     batch = labels.shape[0]
     cls_weights, reg_weights, cared = prepare_loss_weights(labels)
@@ -144,21 +153,24 @@ def detection_loss(
     diff_yaw = jnp.sin(box_p[:, 6] - reg_t[:, 6])
     loc_loss_reduced = (
         (
-            jnp.sum(smooth_l1(diff6) * reg_weights[:, None, :])
+            jnp.sum(smooth_l1(diff6) * reg_weights[:, None])
             + jnp.sum(smooth_l1(diff_yaw) * reg_weights)
         )
         / batch
         * weights.loc_weight
     )
 
-    # -- direction: explicit 2-logit softmax CE on (B, A) slices -----------
-    dir_logits = preds["dir_preds"].astype(jnp.float32)  # (B, 2, A)
-    l0 = dir_logits[:, 0, :]
-    l1_ = dir_logits[:, 1, :]
+    # -- direction: explicit 2-logit softmax CE on per-anchor slices -------
+    dir_logits = preds["dir_preds"].astype(jnp.float32)  # (B, 2, nch, fx, fy)
+    l0 = dir_logits[:, 0]
+    l1_ = dir_logits[:, 1]
     m = jnp.maximum(l0, l1_)
     lse = m + jnp.log(jnp.exp(l0 - m) + jnp.exp(l1_ - m))
     picked = jnp.where(dir_targets > 0, l1_, l0)
-    dir_w = pos / jnp.maximum(jnp.sum(pos, axis=-1, keepdims=True), 1.0)
+    anchor_axes = tuple(range(1, labels.ndim))
+    dir_w = pos / jnp.maximum(
+        jnp.sum(pos, axis=anchor_axes, keepdims=True), 1.0
+    )
     dir_loss = jnp.sum((lse - picked) * dir_w) / batch
 
     loss = loc_loss_reduced + cls_loss_reduced + dir_loss * weights.dir_weight

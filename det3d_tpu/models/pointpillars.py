@@ -754,21 +754,25 @@ class RPN(nn.Module):
 
 class SharedHead(nn.Module):
     """Single head over all classes: one fused 1x1 conv → cls/box/dir in the
-    channel-major (N, k, A) contract over the anchor-major flat order of
-    anchors.build_anchors (reference ordering, anchor_assigner.py:284-298).
+    spatial channel-major (N, k, nch, fx, fy) contract over the anchor-major
+    order of anchors.build_anchors (reference ordering,
+    anchor_assigner.py:284-298; row-major flatten of (nch, fx, fy) recovers
+    the reference's flat anchor index).
 
     Reference: networks/pointpillars8_shared.py:299-343.
 
     TPU formulation: the three 1x1 convs are one transposed dot_general
-    `W' (320, 90) x features (HW, 320) → (90, HW)` whose output rows, with
-    the weight columns pre-permuted to [k][anchor] order, ARE the flat
-    channel-major predictions — every downstream layout hop is a pure
-    reshape/row-slice. (Earlier k-minor / transpose formulations cost
-    ~2.2 ms/frame in materialized relayouts of the 1.44M-anchor tensors;
-    the weight-side permutation is a 320x90 no-op at runtime.) Parameters
-    keep nn.Dense's {kernel (in, out), bias (out,)} shapes and the
-    reference's [anchor][k] column order: checkpoints and the torch
-    weights-transplant remain compatible."""
+    `W' (320, 90) x features (N, H, W, 320) → (90, N, H, W)` whose output
+    rows, with the weight columns pre-permuted to [k][anchor] order, ARE the
+    channel-major predictions. Because the spatial dims stay MINOR all the
+    way into the loss / decode consumers, the group slices and (k, anchor)
+    splits below touch only major axes — they are layout-free, where the
+    earlier flat (N, k, A) contract forced materialized retiling of every
+    million-anchor map (~4 ms/frame at the 10 cm geometry: unaligned
+    63/18-row sublane slices + 1D-flat relayouts). Parameters keep
+    nn.Dense's {kernel (in, out), bias (out,)} shapes and the reference's
+    [anchor][k] column order: checkpoints and the torch weights-transplant
+    remain compatible."""
 
     num_anchor_per_loc: int = 9
     box_code_size: int = 7
@@ -797,8 +801,8 @@ class SharedHead(nn.Module):
         # (A·10, cin) x (N, H, W, cin) contracted on cin → (A·10, N, H, W).
         # The dot consumes the 4D map directly — no (n, h·w, cin) reshape
         # (which materialized extra copies under the training graph's
-        # space-to-batch layouts); the (h, w)→hw merge below happens on the
-        # dot's own minor-contiguous output where it is layout-free.
+        # space-to-batch layouts) — and its output keeps the spatial dims
+        # minor, which the preds contract preserves end-to-end.
         # MEASURED ALTERNATIVE (round 3, rejected): running the head as a
         # 1x1 conv_general so it rides the space-to-batch transform was
         # SLOWER on both paths (10cm inference 25.8→29.1 ms, train
@@ -811,22 +815,38 @@ class SharedHead(nn.Module):
             )
             return (yt + bf[:, None, None, None]).astype(dt)
 
+        def split_groups(yt):
+            # yt (A·10, n, h, w*): rows are [k][anchor] ordered — group
+            # slices and the (k, anchor) splits move only MAJOR axes (the
+            # spatial dims stay minor), so they are layout-free
+            s = yt.shape[1:]
+            cls = yt[:a].transpose(1, 0, 2, 3)[:, None]       # (n, 1, a, h, w*)
+            box = (
+                yt[a : a * (1 + code)]
+                .reshape((code, a) + s)
+                .transpose(2, 0, 1, 3, 4)                     # (n, code, a, h, w*)
+            )
+            dire = (
+                yt[a * (1 + code) :]
+                .reshape((2, a) + s)
+                .transpose(2, 0, 1, 3, 4)                     # (n, 2, a, h, w*)
+            )
+            return cls, box, dire
+
         if parity_split:
             # packed neck form: one dot per column parity over its own
-            # (N, H, W/2, 320) concat, interleaved on the 90-channel OUTPUT
-            # ((A·10, N, H, W/2) x 2 → stack minor → w = 2·w2 + p) — ~3.6x
-            # fewer relayout bytes than unpacking the 640-channel neck map
-            yts = [head_dot(xp) for xp in x]
-            yt = jnp.stack(yts, axis=-1)               # (A·10, N, H, W/2, 2)
-            yt = yt.transpose(1, 0, 2, 3, 4).reshape(n, a * (1 + code + 2), h * w)
-        else:
-            yt = head_dot(x)
-            yt = yt.transpose(1, 0, 2, 3).reshape(n, a * (1 + code + 2), h * w)
-
-        hw_ = h * w
-        cls = yt[:, : a].reshape(n, 1, a * hw_)
-        box = yt[:, a : a * (1 + code)].reshape(n, code, a * hw_)
-        dire = yt[:, a * (1 + code) :].reshape(n, 2, a * hw_)
+            # (N, H, W/2, 320) concat; the predictions stay a per-parity
+            # PAIR — full-map column w = 2·w2 + p — and the decode stage
+            # consumes the pair directly (postprocess._decode parity path),
+            # so the (w2, 2)→w interleave relayout of the 90-channel output
+            # never exists
+            groups = [split_groups(head_dot(xp)) for xp in x]
+            return {
+                "cls_preds": (groups[0][0], groups[1][0]),
+                "box_preds": (groups[0][1], groups[1][1]),
+                "dir_preds": (groups[0][2], groups[1][2]),
+            }
+        cls, box, dire = split_groups(head_dot(x))
         return {"cls_preds": cls, "box_preds": box, "dir_preds": dire}
 
 
@@ -877,19 +897,22 @@ class MultiHead(nn.Module):
             w_dir, b_dir = _DenseParams(a * 2, name=f"head{ci}_dir")(cin, a, 2)
             wf = jnp.concatenate([w_cls, w_box, w_dir], axis=1)
             bf = jnp.concatenate([b_cls, b_box, b_dir])
-            f2d = feat.reshape(n, h * w, cin)
             yt = jax.lax.dot_general(
-                wf.T.astype(dt), f2d, (((1,), (2,)), ((), ())),
+                wf.T.astype(dt), feat, (((1,), (3,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            yt = (yt + bf[:, None, None]).astype(dt).transpose(1, 0, 2)
-            hw_ = h * w
-            cls_l.append(yt[:, :a].reshape(n, 1, a * hw_))
-            box_l.append(yt[:, a : a * (1 + code)].reshape(n, code, a * hw_))
-            dir_l.append(yt[:, a * (1 + code) :].reshape(n, 2, a * hw_))
+            yt = (yt + bf[:, None, None, None]).astype(dt)  # (a·10, n, h, w)
+            s = yt.shape[1:]
+            cls_l.append(yt[:a].transpose(1, 0, 2, 3)[:, None])
+            box_l.append(
+                yt[a : a * (1 + code)].reshape((code, a) + s).transpose(2, 0, 1, 3, 4)
+            )
+            dir_l.append(
+                yt[a * (1 + code) :].reshape((2, a) + s).transpose(2, 0, 1, 3, 4)
+            )
 
-        # classes concatenate along the anchor-major flat axis — the global
-        # [class][size][rot][x][y] order of anchors.build_anchors
+        # classes concatenate along the anchor-channel axis — the global
+        # [class][size][rot] channel order of anchors.build_anchors
         return {
             "cls_preds": jnp.concatenate(cls_l, axis=2),
             "box_preds": jnp.concatenate(box_l, axis=2),

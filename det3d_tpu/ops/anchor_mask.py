@@ -128,7 +128,8 @@ def separable_corner_index_vectors(
 def anchors_mask_from_sat_separable(sat: jax.Array, index_vectors) -> jax.Array:
     """Separable SAT lookup: same `ID - IB - IC + IA > 0` as
     anchors_mask_from_sat, evaluated with row/column takes per channel.
-    Output is anchor-major flat: (C·fx·fy,), channel blocks concatenated."""
+    Output is spatial anchor-major: (C, fx, fy) — channel c's (fx, fy)
+    map; flattening row-major recovers the legacy (C·fx·fy,) flat order."""
     masks = []
     for rows_min, rows_max, cols_min, cols_max in index_vectors:
         t = jnp.take(sat, jnp.asarray(rows_max), axis=0) - jnp.take(
@@ -138,7 +139,7 @@ def anchors_mask_from_sat_separable(sat: jax.Array, index_vectors) -> jax.Array:
             t, jnp.asarray(cols_min), axis=1
         )  # (fx, fy)
         masks.append(m > 0)
-    return jnp.stack(masks, axis=0).reshape(-1)
+    return jnp.stack(masks, axis=0)
 
 
 def compute_anchors_mask_separable(

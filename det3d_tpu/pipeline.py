@@ -56,7 +56,10 @@ class Detector:
 
     # -- stages (individually jit-able, composed below) --------------------
     def preprocess(self, points: jax.Array, num_points: jax.Array):
-        """Voxelize + anchor occupancy mask (replaces InferData.get)."""
+        """Voxelize + anchor occupancy mask (replaces InferData.get).
+
+        The mask is spatial anchor-major (nch, fx, fy) — the preds contract's
+        spatial form; row-major flatten recovers the legacy flat order."""
         frame = voxelize(points, num_points, self.spec, fcfs=self._fcfs)
         if self.anchor_set.mask_index_vectors is not None:
             # separable fast path: row/col SAT takes instead of a 1.44M-element
@@ -65,7 +68,10 @@ class Detector:
                 frame.coors, self.anchor_set.mask_index_vectors, self._grid_xy
             )
         else:
-            anchors_mask = compute_anchors_mask(frame.coors, self._corner_cells, self._grid_xy)
+            fms = self.cfg.feature_map_size
+            anchors_mask = compute_anchors_mask(
+                frame.coors, self._corner_cells, self._grid_xy
+            ).reshape(self.anchor_set.num_channels, fms[0], fms[1])
         return frame, anchors_mask
 
     def infer(self, variables: Any, points: jax.Array, num_points: jax.Array) -> Detections:
@@ -91,7 +97,9 @@ class Detector:
             frame.coors[None],
             train=False,
         )
-        preds = {k: v[0] for k, v in preds.items()}
+        # squeeze the leading batch dim of every pred leaf (the split-head
+        # path emits per-parity tuples — tree.map covers both forms)
+        preds = jax.tree.map(lambda v: v[0], preds)
         return self.postprocess.decode_stage(preds, anchors_mask)
 
     @functools.cached_property

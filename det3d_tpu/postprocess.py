@@ -98,6 +98,65 @@ def _topk(scores: jax.Array, k: int, params: PostProcessParams):
     return jax.lax.top_k(scores, k)
 
 
+def _use_approx(params: PostProcessParams) -> bool:
+    approx = params.approx_topk
+    if approx is None:
+        approx = jax.default_backend() == "tpu"
+    return approx
+
+
+def _row_bucket_size(fy: int, n: int, k: int) -> int:
+    """Largest bucket size ≤ n/(16k) that divides the row length fy, so each
+    bucket is a contiguous chunk of one (lane-dim) row: the bucket max/argmax
+    reduce then reads the gated map in its NATIVE spatial layout — no flat
+    relayout of the million-anchor map exists."""
+    bsz = max(1, min(n // (16 * k), fy))
+    while fy % bsz != 0:
+        bsz -= 1
+    return bsz
+
+
+def _bucketed_topk_rows(g: jax.Array, k: int):
+    """Row-aligned bucketed approximate top-k over a spatial (…, fy) map,
+    returning flat row-major indices. Same recall math as `_bucketed_topk`
+    (B ≈ 16k buckets → ~97%), with buckets aligned to the minor axis."""
+    fy = g.shape[-1]
+    n = g.size
+    bsz = _row_bucket_size(fy, n, k)
+    b = n // bsz
+    if b <= k:
+        return jax.lax.top_k(g.reshape(-1), k)
+    s2 = g.reshape(b, bsz)
+    bmax = jnp.max(s2, axis=1)
+    barg = jnp.argmax(s2, axis=1).astype(jnp.int32)
+    top, bidx = jax.lax.top_k(bmax, k)
+    return top, bidx * bsz + barg[bidx]
+
+
+def _bucketed_topk_pair(g0: jax.Array, g1: jax.Array, k: int):
+    """Bucketed top-k over a column-parity PAIR of spatial maps (each
+    (…, w2); stacked flat order = parity-major). Bucket maxima are reduced
+    per parity in native layout and only the small (2b,) maxima vectors
+    concatenate — the full maps never stack or relayout."""
+    fy2 = g0.shape[-1]
+    n = g0.size
+    bsz = _row_bucket_size(fy2, 2 * n, k)
+    b = n // bsz
+    if 2 * b <= k:
+        return jax.lax.top_k(
+            jnp.concatenate([g0.reshape(-1), g1.reshape(-1)]), k
+        )
+    bmax_l, barg_l = [], []
+    for g in (g0, g1):
+        s2 = g.reshape(b, bsz)
+        bmax_l.append(jnp.max(s2, axis=1))
+        barg_l.append(jnp.argmax(s2, axis=1).astype(jnp.int32))
+    bmax = jnp.concatenate(bmax_l)
+    barg = jnp.concatenate(barg_l)
+    top, bidx = jax.lax.top_k(bmax, k)
+    return top, bidx * bsz + barg[bidx]
+
+
 class Detections(NamedTuple):
     """Fixed-shape per-frame detections, stacked over classes."""
 
@@ -117,25 +176,19 @@ except Exception:  # pragma: no cover - older jax without namedtuple serializati
     pass
 
 
-def _decode_one_class(
-    masked_logits: jax.Array,  # (Ac,) gated LOGITS (-inf where excluded)
-    global_idx_fn,             # class-flat idx -> row into the global tensors
-    box_all_t: jax.Array,      # (7, A_total) global, channel-major
-    dir_all_t: jax.Array,      # (2, A_total) global
-    anchors: jax.Array,        # (Ac, 7) per-class contiguous constant
-    center_limit: jax.Array,   # (6,)
+def _decode_candidates(
+    top_logits: jax.Array,   # (k,) gated LOGITS of the winners (-inf = none)
+    box_k: jax.Array,        # (k, 7) gathered box deltas
+    dir_labels: jax.Array,   # (k,) bool gathered direction picks
+    anchors_k: jax.Array,    # (k, 7) matching anchors
+    center_limit: jax.Array, # (6,)
     params: PostProcessParams,
 ):
-    """Stage 1 of the per-class tail: top-k → decode → dir flip → standup
-    boxes + range mask. Built ONLY from ops XLA's space-to-batch converter
-    tolerates as transitive consumers of the conv stack — any custom call
-    here (approx_max_k, the Pallas NMS) disables the transform and slows
-    every upstream conv ~3x, which is why NMS lives in a separate stage."""
-    # clamp to the class's (static) anchor count — small classes can have
-    # fewer anchors than nms_pre_max_size
-    k = min(params.nms_pre_max_size, masked_logits.shape[0])
-
-    top_logits, idx = _topk(masked_logits, k, params)
+    """Stage 1 tail (post top-k): decode → dir flip → standup boxes + range
+    mask. Built ONLY from ops XLA's space-to-batch converter tolerates as
+    transitive consumers of the conv stack — any custom call here
+    (approx_max_k, the Pallas NMS) disables the transform and slows every
+    upstream conv ~3x, which is why NMS lives in a separate stage."""
     valid = top_logits > -jnp.inf
     # sigmoid only on the k winners (the dense map stayed in logit space);
     # invalid slots report -1.0, the legacy gated-score sentinel
@@ -143,16 +196,7 @@ def _decode_one_class(
         valid, jax.nn.sigmoid(top_logits.astype(jnp.float32)), -1.0
     )
 
-    # gather the k candidates straight from the GLOBAL channel-major tensors
-    # (slicing the per-class channels out of the 1.44M-anchor tensors costs
-    # ~1ms/frame of pure copies; a 1000-column gather is free by comparison)
-    gidx = global_idx_fn(idx)
-    box_k = box_all_t[:, gidx].astype(jnp.float32).T                   # (k, 7)
-    dir_k = dir_all_t[:, gidx]                                         # (2, k)
-    anchors_k = anchors[idx]
-
     boxes = geometry.box_decode(box_k, anchors_k)                      # (k, 7)
-    dir_labels = (dir_k[1] > dir_k[0])
 
     corners = geometry.center_to_corner_box2d(
         boxes[:, :2], boxes[:, 3:5], boxes[:, 6]
@@ -211,46 +255,115 @@ def make_postprocessor(cfg: Config, anchor_set: AnchorSet, params: PostProcessPa
         jnp.asarray(anchor_set.anchors_by_class[s.name]) for s in cfg.class_specs
     ]
 
-    hw = int(np.prod(cfg.feature_map_size))
+    fx, fy = (int(s) for s in cfg.feature_map_size[:2])
+    hw = fx * fy
 
     def decode_stage(preds: dict[str, jax.Array], anchors_mask: jax.Array):
-        """Everything before NMS: custom-call-free (see _decode_one_class).
-        Returns per-class stacked candidate tuples (small: ~3x1000 rows)."""
-        # preds are single-frame channel-major (k, A) in the anchor-major
-        # flat order: per-class anchors are CONTIGUOUS row ranges, so class
-        # slicing is free and class-flat → global index is `idx + c0·hw`
-        # score in LOGIT space: sigmoid is monotone, so the top-k order and
-        # the score gate are decision-identical on logits — the full-map f32
-        # sigmoid materialization over all anchors disappears, and sigmoid
-        # runs on the 1000 winners per class instead (reference semantics:
-        # framework/inference.py:60-66 computed it densely). The compare is
-        # forced to f32 so the threshold is NOT rounded to bf16 (a bf16
-        # compare would move the effective gate from logit(0.05)=-2.9444 to
-        # -2.9375 and drop boundary detections the reference kept); the cast
-        # happens in-register inside the compare fusion — the bool output
-        # means no f32 copy of the map ever exists. Sorting the gated bf16
-        # logits is order-identical to sorting their f32 sigmoids, since
-        # the scores carry bf16 information to begin with.
-        logit_thr = float(np.log(params.score_threshold / (1.0 - params.score_threshold)))
-        logits_all = preds["cls_preds"].reshape(-1)
-        gated_all = jnp.where(
-            anchors_mask & (logits_all.astype(jnp.float32) >= jnp.float32(logit_thr)),
-            logits_all,
-            jnp.asarray(-jnp.inf, logits_all.dtype),
+        """Everything before NMS: custom-call-free (see _decode_candidates).
+        Returns per-class stacked candidate tuples (small: ~3x1000 rows).
+
+        preds are single-frame SPATIAL channel-major — cls (1, nch, fx, fy),
+        box (7, nch, fx, fy), dir (2, nch, fx, fy) — or, on the packed
+        split-head path, per-column-parity PAIRS of the same with fy/2
+        columns (full-map column = 2·y2 + p). Row-major flatten of
+        (nch, fx, fy) is the reference's flat anchor order, so per-class
+        anchors are contiguous CHANNEL ranges: class slicing moves only the
+        major axis and the gate + bucketed top-k reduce the maps in their
+        native layout. The k winners are then gathered with unraveled
+        (ch, x, y) indices straight off the spatial tensors — under the old
+        flat (k, A) contract the same pipeline spent ~2 ms/frame (10 cm)
+        materializing flat relayouts of every million-anchor map.
+
+        Scores stay in LOGIT space: sigmoid is monotone, so the top-k order
+        and the score gate are decision-identical on logits — the full-map
+        f32 sigmoid materialization disappears and sigmoid runs on the 1000
+        winners per class (reference semantics: framework/inference.py:60-66
+        computed it densely). The compare is forced to f32 so the threshold
+        is NOT rounded to bf16 (a bf16 compare would move the effective gate
+        from logit(0.05)=-2.9444 to -2.9375 and drop boundary detections the
+        reference kept); the cast happens in-register inside the compare
+        fusion. Sorting gated bf16 logits is order-identical to sorting
+        their f32 sigmoids, since the scores carry bf16 information anyway.
+        """
+        logit_thr = jnp.float32(
+            float(np.log(params.score_threshold / (1.0 - params.score_threshold)))
         )
-        box_all_t = preds["box_preds"].reshape(cfg.box_code_size, -1)
-        dir_all_t = preds["dir_preds"].reshape(2, -1)
+        parity = isinstance(preds["cls_preds"], (tuple, list))
+        approx = _use_approx(params)
+
+        def gate(logits, mask):
+            return jnp.where(
+                mask & (logits.astype(jnp.float32) >= logit_thr),
+                logits,
+                jnp.asarray(-jnp.inf, logits.dtype),
+            )
+
+        if parity:
+            w2 = fy // 2
+            # per-parity gated maps: mask column-parity slices are strided
+            # takes of the (nch, fx, fy) bool map — tiny next to the logits
+            gated = [
+                gate(cp[0], anchors_mask[:, :, p::2])
+                for p, cp in enumerate(preds["cls_preds"])
+            ]
+            box_pair = preds["box_preds"]
+            dir_pair = preds["dir_preds"]
+        else:
+            gated = gate(preds["cls_preds"][0], anchors_mask)  # (nch, fx, fy)
+            box_all = preds["box_preds"]                       # (7, nch, fx, fy)
+            dir_all = preds["dir_preds"]
 
         out = []
         for (c0, c1), anchors in zip(channels, class_anchors):
-            def gidx_fn(idx, c0=c0):
-                return idx + c0 * hw
+            cch = c1 - c0
+            n_class = cch * hw
+            k = min(params.nms_pre_max_size, n_class)
 
+            if parity:
+                g0, g1 = gated[0][c0:c1], gated[1][c0:c1]  # (cch, fx, w2)
+                if approx and k < n_class:
+                    top_logits, sidx = _bucketed_topk_pair(g0, g1, k)
+                else:
+                    top_logits, sidx = jax.lax.top_k(
+                        jnp.concatenate([g0.reshape(-1), g1.reshape(-1)]), k
+                    )
+                # unravel the parity-major stacked index → (p, ch, x, y2)
+                half = cch * fx * w2
+                p = sidx // half
+                rem = sidx - p * half
+                ch = rem // (fx * w2)
+                rem = rem - ch * (fx * w2)
+                xx = rem // w2
+                y2 = rem - xx * w2
+                yy = 2 * y2 + p
+                idx = ch * hw + xx * fy + yy  # class-flat legacy order
+                chg = ch + c0
+                # two 1000-row gathers + a select — the pair never stacks
+                b0 = box_pair[0][:, chg, xx, y2]
+                b1 = box_pair[1][:, chg, xx, y2]                  # (7, k)
+                box_k = jnp.where(p == 1, b1, b0).astype(jnp.float32).T
+                d0 = dir_pair[0][:, chg, xx, y2]
+                d1 = dir_pair[1][:, chg, xx, y2]                  # (2, k)
+                dir_k = jnp.where(p == 1, d1, d0)
+            else:
+                g = gated[c0:c1]                                   # (cch, fx, fy)
+                if approx and k < n_class:
+                    top_logits, idx = _bucketed_topk_rows(g, k)
+                else:
+                    top_logits, idx = jax.lax.top_k(g.reshape(-1), k)
+                ch = idx // hw
+                rem = idx - ch * hw
+                xx = rem // fy
+                yy = rem - xx * fy
+                chg = ch + c0
+                box_k = box_all[:, chg, xx, yy].astype(jnp.float32).T  # (k, 7)
+                dir_k = dir_all[:, chg, xx, yy]                        # (2, k)
+
+            dir_labels = dir_k[1] > dir_k[0]
+            anchors_k = anchors[idx]
             out.append(
-                _decode_one_class(
-                    gated_all[c0 * hw : c1 * hw],
-                    gidx_fn, box_all_t, dir_all_t,
-                    anchors, center_limit, params,
+                _decode_candidates(
+                    top_logits, box_k, dir_labels, anchors_k, center_limit, params
                 )
             )
         return out

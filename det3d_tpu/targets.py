@@ -36,12 +36,18 @@ from det3d_tpu.ops import geometry
 
 
 class TargetAssignment(NamedTuple):
-    labels: jax.Array            # (A,) int32 in {-1, 0, 1}
-    bbox_targets: jax.Array      # (7, A) float32 — channel-major: both the
-    # assigner's encode and the loss's smooth-L1 operate lane-efficiently in
-    # this orientation, so it never round-trips through (A, 7)
-    bbox_outside_weights: jax.Array  # (A,) float32
-    dir_targets: jax.Array       # (A,) int32 in {0, 1}
+    """Spatial anchor-major target maps (the preds contract's form): the
+    anchor axes are (nch, fx, fy) with the spatial dims minor, so the loss's
+    million-anchor elementwise math runs lane-efficiently against the head's
+    own (N, k, nch, fx, fy) output layout — no flat-form relayout exists on
+    either side. Row-major flatten recovers the legacy (A,) flat order."""
+
+    labels: jax.Array            # (nch, fx, fy) int32 in {-1, 0, 1}
+    bbox_targets: jax.Array      # (7, nch, fx, fy) float32 — channel-major:
+    # both the assigner's encode and the loss's smooth-L1 operate
+    # lane-efficiently in this orientation (never round-trips through (A, 7))
+    bbox_outside_weights: jax.Array  # (nch, fx, fy) float32
+    dir_targets: jax.Array       # (nch, fx, fy) int32 in {0, 1}
 
 
 def _assign_one_class(
@@ -129,12 +135,12 @@ def make_target_assigner(cfg: Config, anchor_set: AnchorSet, use_pallas: bool | 
         gt_boxes: jax.Array,      # (G, 7)
         gt_classes: jax.Array,    # (G,) int32, 1-based
         gt_valid: jax.Array,      # (G,) bool
-        anchors_mask: jax.Array,  # (A,) bool, anchor-major flat
+        anchors_mask: jax.Array,  # (nch, fx, fy) bool, spatial anchor-major
     ) -> TargetAssignment:
-        # anchor-major flat layout: per-class anchors are contiguous row
-        # ranges, so per-class masks are slices and the per-class results
-        # concatenate directly — no reinterleave
-        mask_ch = anchors_mask.reshape(nch, -1)
+        # anchor-major layout: per-class anchors are contiguous channel
+        # ranges, so per-class masks are row slices and the per-class results
+        # concatenate directly along the channel axis — no reinterleave
+        fx, fy = anchors_mask.shape[1], anchors_mask.shape[2]
         labels_l, targets_l, weights_l, dir_l = [], [], [], []
         for ci, ((c0, c1), anchors, anchors_bv, (mth, uth)) in enumerate(
             zip(channels, class_anchors, class_anchors_bv, thresholds)
@@ -144,18 +150,19 @@ def make_target_assigner(cfg: Config, anchor_set: AnchorSet, use_pallas: bool | 
                 from det3d_tpu.kernels.matcher_pallas import assign_class_pallas
 
                 lab, tgt, w, d = assign_class_pallas(
-                    anchors, anchors_bv, mask_ch[c0:c1].reshape(-1),
+                    anchors, anchors_bv, anchors_mask[c0:c1].reshape(-1),
                     gt_boxes, cls_valid, mth, uth
                 )
             else:
                 lab, tgt, w, d = _assign_one_class(
-                    anchors, anchors_bv, mask_ch[c0:c1].reshape(-1),
+                    anchors, anchors_bv, anchors_mask[c0:c1].reshape(-1),
                     gt_boxes, cls_valid, mth, uth
                 )
-            labels_l.append(lab)
-            targets_l.append(tgt)
-            weights_l.append(w)
-            dir_l.append(d)
+            cch = c1 - c0
+            labels_l.append(lab.reshape(cch, fx, fy))
+            targets_l.append(tgt.reshape(7, cch, fx, fy))
+            weights_l.append(w.reshape(cch, fx, fy))
+            dir_l.append(d.reshape(cch, fx, fy))
         return TargetAssignment(
             labels=jnp.concatenate(labels_l),
             bbox_targets=jnp.concatenate(targets_l, axis=1),

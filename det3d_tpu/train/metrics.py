@@ -19,18 +19,20 @@ THRESHOLDS = (0.1, 0.3, 0.5, 0.7)
 def binary_counts(labels: jax.Array, cls_logits: jax.Array) -> dict[str, jax.Array]:
     """Per-threshold TP/FP/FN counts over anchors with label != -1.
 
-    labels: (B, A) int32; cls_logits: (B, 1, A) channel-major (or any shape
-    reshapeable to labels). Matches reference framework/metrics.py:54-67."""
+    labels: (B, nch, fx, fy) int32 (or legacy flat (B, A)); cls_logits:
+    (B, 1, nch, fx, fy) channel-major (or any shape reshapeable to labels).
+    Matches reference framework/metrics.py:54-67."""
     scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32)).reshape(labels.shape)
     weights = (labels != -1).astype(jnp.float32)
     trues = labels > 0
     falses = labels == 0
 
-    thresholds = jnp.asarray(THRESHOLDS)[:, None, None]
-    pred_true = scores[None] > thresholds                      # (T, B, A)
-    tp = jnp.sum(weights[None] * (trues[None] & pred_true), axis=(1, 2))
-    fp = jnp.sum(weights[None] * (falses[None] & pred_true), axis=(1, 2))
-    fn = jnp.sum(weights[None] * (trues[None] & ~pred_true), axis=(1, 2))
+    thresholds = jnp.asarray(THRESHOLDS).reshape((-1,) + (1,) * labels.ndim)
+    pred_true = scores[None] > thresholds                      # (T, B, ...)
+    axes = tuple(range(1, pred_true.ndim))
+    tp = jnp.sum(weights[None] * (trues[None] & pred_true), axis=axes)
+    fp = jnp.sum(weights[None] * (falses[None] & pred_true), axis=axes)
+    fn = jnp.sum(weights[None] * (trues[None] & ~pred_true), axis=axes)
     return {"tp": tp, "fp": fp, "fn": fn}
 
 

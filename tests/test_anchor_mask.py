@@ -103,6 +103,10 @@ def test_separable_fast_path_matches_gather_path():
     sat = occupancy_sat(jnp.asarray(coors), (nx, ny))
     slow = np.asarray(anchors_mask_from_sat(sat, jnp.asarray(aset.corner_cells)))
     fast = np.asarray(anchors_mask_from_sat_separable(sat, aset.mask_index_vectors))
-    assert slow.shape == fast.shape == (cfg.num_anchors,)
+    # fast path emits the spatial (nch, fx, fy) form; row-major flatten is
+    # the legacy flat anchor order the gather path produces
+    fms = cfg.feature_map_size
+    assert fast.shape == (aset.num_channels, fms[0], fms[1])
+    assert slow.shape == (cfg.num_anchors,)
     assert slow.any() and not slow.all()
-    np.testing.assert_array_equal(fast, slow)
+    np.testing.assert_array_equal(fast.reshape(-1), slow)

@@ -14,6 +14,18 @@ from det3d_tpu.pipeline import Detector
 from helpers import small_cfg, random_cloud
 
 
+def merge_parity(v):
+    """Split-head preds come as per-column-parity pairs (…, w/2) x 2 with
+    full-map column w = 2·y2 + p; interleave back to the merged form."""
+    if isinstance(v, tuple):
+        a, b = np.asarray(v[0]), np.asarray(v[1])
+        full = np.empty(a.shape[:-1] + (a.shape[-1] * 2,), a.dtype)
+        full[..., 0::2] = a
+        full[..., 1::2] = b
+        return full
+    return np.asarray(v)
+
+
 class TestPFN:
     def test_decoration_and_masking(self):
         """Cluster-mean / center offsets computed by hand for one pillar."""
@@ -76,10 +88,11 @@ class TestRPN:
 
 
 class TestHeadOrdering:
-    def test_location_major_layout(self):
+    def test_anchor_major_layout(self):
         """A delta at one (x, y) location must land at flat indices
-        (x*W + y)*A + a for every anchor channel a — the anchors.py
-        location-major contract (a pure reshape of the NHWC head output)."""
+        a*H*W + x*W + y for every anchor channel a — the anchors.py
+        anchor-major contract (the spatial (k, a, h, w) preds flatten
+        row-major to the reference's flat anchor order)."""
         h = w = 8
         a = 9
         head = SharedHead(num_anchor_per_loc=a, compute_dtype=jnp.float32)
@@ -89,8 +102,9 @@ class TestHeadOrdering:
         x = x.at[0, xi, yi, :].set(1.0)
         out = head.apply(variables, x)
         base = head.apply(variables, jnp.zeros_like(x))
-        diff = np.abs(np.asarray(out["cls_preds"] - base["cls_preds"]))[0, 0, :]
-        hit = np.nonzero(diff > 1e-9)[0]
+        assert out["cls_preds"].shape == (1, 1, a, h, w)
+        diff = np.abs(np.asarray(out["cls_preds"] - base["cls_preds"]))[0, 0]
+        hit = np.nonzero(diff.reshape(-1) > 1e-9)[0]
         expected = np.array([ai * h * w + xi * w + yi for ai in range(a)])
         np.testing.assert_array_equal(np.sort(hit), expected)
 
@@ -261,8 +275,10 @@ class TestGramINStats:
             out_m = head.apply(hv, merged)
             out_s = head.apply(hv, split)
             for k in out_m:
+                # split preds stay per-parity pairs; interleave to compare
+                assert isinstance(out_s[k], tuple)
                 np.testing.assert_allclose(
-                    np.asarray(out_m[k]), np.asarray(out_s[k]),
+                    np.asarray(out_m[k]), merge_parity(out_s[k]),
                     rtol=1e-5, atol=1e-6, err_msg=k,
                 )
 
@@ -321,8 +337,9 @@ class TestPackedBlock0:
         out_p = det_p.model.apply(v, *args, train=False)
         out_s = det_s.model.apply(v, *args, train=False)
         for k in out_p:
+            # the packed inference path emits per-parity pairs (split head)
             np.testing.assert_allclose(
-                np.asarray(out_p[k]), np.asarray(out_s[k]), atol=2e-4,
+                np.asarray(out_p[k]), merge_parity(out_s[k]), atol=2e-4,
                 err_msg=k,
             )
 
@@ -349,7 +366,9 @@ class TestPackedBlock0:
                     {"params": params, **{k: v[k] for k in v if k != "params"}},
                     *args, train=False,
                 )
-                return sum(jnp.sum(jnp.tanh(o)) for o in out.values())
+                # tree.leaves covers the split-head per-parity pairs too:
+                # the parities partition the map, so the tanh-sum is the same
+                return sum(jnp.sum(jnp.tanh(o)) for o in jax.tree.leaves(out))
             return f
 
         gp = jax.grad(loss(det_p))(v["params"])

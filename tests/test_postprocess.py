@@ -138,7 +138,13 @@ class TestPostprocessParity:
         }
         mask = rng.rand(na) > 0.3
 
-        det = post({k: v.T for k, v in preds.items()}, mask)  # model contract: (k, A)
+        # model contract: spatial channel-major (k, nch, fx, fy)
+        nch = aset.num_channels
+        fms = cfg.feature_map_size
+        spatial = {
+            k: v.T.reshape(-1, nch, fms[0], fms[1]) for k, v in preds.items()
+        }
+        det = post(spatial, mask.reshape(nch, fms[0], fms[1]))
         ref = postprocess_ref(cfg, aset, preds, mask, params)
 
         boxes = np.asarray(det.boxes)
@@ -164,7 +170,12 @@ class TestPostprocessParity:
             "box_preds": rng.randn(na, 7).astype(np.float32) * 0.1,
             "dir_preds": rng.randn(na, 2).astype(np.float32),
         }
-        det = post({k: v.T for k, v in preds.items()}, np.zeros(na, bool))
+        nch = aset.num_channels
+        fms = cfg.feature_map_size
+        spatial = {
+            k: v.T.reshape(-1, nch, fms[0], fms[1]) for k, v in preds.items()
+        }
+        det = post(spatial, np.zeros((nch, fms[0], fms[1]), bool))
         assert not np.asarray(det.valid).any()
         annos = to_annos(cfg, det)
         assert len(annos["name"]) == 0

@@ -248,13 +248,23 @@ class TestModelParity:
         else:
             out = model.apply(variables, *fx_args, train=False)
 
-        a = cfg.num_anchors_per_loc
-        h, w = cfg.feature_map_size[0], cfg.feature_map_size[1]
-        del a, h, w  # flat order identical to the reference's
         for key, k in (("cls_preds", 1), ("box_preds", 7), ("dir_preds", 2)):
             ref_v = ref_out[key].numpy()
-            # model contract is channel-major (N, k, A); ref is (N, A, k)
-            got = np.asarray(out[key], np.float32).transpose(0, 2, 1)
+            # model contract is spatial channel-major (N, k, nch, fx, fy) —
+            # on the packed inference path a per-column-parity PAIR of
+            # (…, fy/2) maps. Interleave if split, then row-major flatten of
+            # (nch, fx, fy) is the reference's flat anchor order; move k
+            # minor to match the reference's (N, A, k)
+            got = out[key]
+            if isinstance(got, tuple):
+                g0, g1 = (np.asarray(g, np.float32) for g in got)
+                merged = np.empty(g0.shape[:-1] + (g0.shape[-1] * 2,), g0.dtype)
+                merged[..., 0::2] = g0
+                merged[..., 1::2] = g1
+                got = merged
+            else:
+                got = np.asarray(got, np.float32)
+            got = got.reshape(got.shape[0], k, -1).transpose(0, 2, 1)
             np.testing.assert_allclose(got, ref_v, atol=2e-4, rtol=1e-4)
 
     def test_batch_stats_update_matches_torch(self, ref):

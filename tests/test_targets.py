@@ -13,6 +13,12 @@ def make_gt(cfg, boxes_and_classes):
     return pad_gt(cfg, boxes, classes)
 
 
+def spatial_mask(cfg, aset, flat_mask):
+    """Flat anchor-major mask → the assigner's spatial (nch, fx, fy) form."""
+    fms = cfg.feature_map_size
+    return flat_mask.reshape(aset.num_channels, fms[0], fms[1])
+
+
 def assign_ref_all(cfg, aset, anchors_mask, gt_boxes, gt_classes):
     """Run the numpy oracle per class and reinterleave into the
     location-major channel layout (like the reference's loop over
@@ -60,13 +66,18 @@ class TestTargets:
         anchors_mask = r.rand(aset.num_anchors) > 0.3
 
         boxes, classes, valid = pad_gt(cfg, gt_raw, gt_classes_raw)
-        out = assigner(boxes, classes, valid, anchors_mask)
+        out = assigner(boxes, classes, valid, spatial_mask(cfg, aset, anchors_mask))
 
+        # spatial outputs flatten row-major to the oracle's flat order
         ref = assign_ref_all(cfg, aset, anchors_mask, gt_raw, gt_classes_raw)
-        np.testing.assert_array_equal(np.asarray(out.labels), ref[0])
-        np.testing.assert_allclose(np.asarray(out.bbox_targets).T, ref[1], rtol=1e-4, atol=1e-5)
-        np.testing.assert_array_equal(np.asarray(out.bbox_outside_weights), ref[2])
-        np.testing.assert_array_equal(np.asarray(out.dir_targets), ref[3])
+        np.testing.assert_array_equal(np.asarray(out.labels).reshape(-1), ref[0])
+        np.testing.assert_allclose(
+            np.asarray(out.bbox_targets).reshape(7, -1).T, ref[1], rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.bbox_outside_weights).reshape(-1), ref[2]
+        )
+        np.testing.assert_array_equal(np.asarray(out.dir_targets).reshape(-1), ref[3])
 
     def test_no_gt_all_background(self):
         cfg = small_cfg()
@@ -74,7 +85,7 @@ class TestTargets:
         assigner = make_target_assigner(cfg, aset)
         boxes, classes, valid = pad_gt(cfg, np.zeros((0, 7), np.float32), np.zeros((0,), np.int32))
         anchors_mask = np.ones(aset.num_anchors, bool)
-        out = assigner(boxes, classes, valid, anchors_mask)
+        out = assigner(boxes, classes, valid, spatial_mask(cfg, aset, anchors_mask))
         assert (np.asarray(out.labels) == 0).all()
         assert np.asarray(out.bbox_targets).sum() == 0
 
@@ -85,7 +96,7 @@ class TestTargets:
         gt = np.array([[0.0, 0.0, 0.0, 4.6, 2.1, 1.8, 0.0]], np.float32)
         boxes, classes, valid = pad_gt(cfg, gt, np.array([1], np.int32))
         anchors_mask = np.zeros(aset.num_anchors, bool)
-        out = assigner(boxes, classes, valid, anchors_mask)
+        out = assigner(boxes, classes, valid, spatial_mask(cfg, aset, anchors_mask))
         assert (np.asarray(out.labels) == -1).all()
 
     def test_force_match_guarantees_positive(self):
@@ -98,13 +109,12 @@ class TestTargets:
         gt = np.array([[1.3, 0.7, 0.0, 0.9, 0.4, 1.0, 0.3]], np.float32)
         boxes, classes, valid = pad_gt(cfg, gt, np.array([1], np.int32))
         anchors_mask = np.ones(aset.num_anchors, bool)
-        out = assigner(boxes, classes, valid, anchors_mask)
+        out = assigner(boxes, classes, valid, spatial_mask(cfg, aset, anchors_mask))
         c0, c1 = aset.class_channels["vehicle"]
-        labels = np.asarray(out.labels).reshape(-1, aset.num_channels)
-        assert (labels[:, c0:c1] > 0).sum() >= 1
-        labels = labels.reshape(-1)
+        labels = np.asarray(out.labels)  # (nch, fx, fy)
+        assert (labels[c0:c1] > 0).sum() >= 1
         ref = assign_ref_all(cfg, aset, anchors_mask, gt, np.array([1], np.int32))
-        np.testing.assert_array_equal(labels, ref[0])
+        np.testing.assert_array_equal(labels.reshape(-1), ref[0])
 
 
 class TestPallasMatcher:

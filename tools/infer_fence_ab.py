@@ -70,8 +70,13 @@ def main():
             frame.coors[None],
             train=False,
         )
-        preds = dict(preds, cls_preds=s2b_fence(preds["cls_preds"]))
-        preds = {k: v[0] for k, v in preds.items()}
+        cp = preds["cls_preds"]
+        if isinstance(cp, tuple):  # split-head parity pair
+            cp = tuple(s2b_fence(c) for c in cp)
+        else:
+            cp = s2b_fence(cp)
+        preds = dict(preds, cls_preds=cp)
+        preds = jax.tree.map(lambda v: v[0], preds)
         return det.postprocess.decode_stage(preds, anchors_mask)
 
     stage1f = jax.jit(cand_fenced)

@@ -141,7 +141,7 @@ def main() -> None:
     # --- s2b fence at the train-step shapes ----------------------------------
     from det3d_tpu.kernels.fence_pallas import fence_any, s2b_fence
 
-    x = jnp.asarray(r.randn(2, 1, 1_440_000), jnp.bfloat16)  # cls_preds b=2
+    x = jnp.asarray(r.randn(2, 1, 9, 400, 400), jnp.bfloat16)  # cls_preds b=2
     y = s2b_fence(x)
     np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
     for shape in ((3, 3, 256, 256), (90,), (320, 90)):  # gradient leaves
