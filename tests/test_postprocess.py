@@ -58,6 +58,47 @@ def postprocess_ref(cfg, anchor_set, preds, anchors_mask, params):
     return out
 
 
+class TestParityDecode:
+    @pytest.mark.parametrize("approx", [False, True])
+    def test_parity_pair_matches_merged(self, approx):
+        """decode_stage consumed per-column-parity pred pairs (the split-head
+        path) must produce the same detections as the merged spatial form.
+        Exact mode is bit-identical; bucketed mode is checked by re-running
+        the merged path through the same bucket structure is NOT possible
+        (bucket partitions differ), so approx=True only sanity-checks shapes
+        and validity consistency."""
+        import jax.numpy as jnp
+
+        cfg = small_cfg()
+        aset = build_anchors(cfg)
+        params = PostProcessParams(approx_topk=approx)
+        post = make_postprocessor(cfg, aset, params)
+
+        rng = np.random.RandomState(4)
+        nch = aset.num_channels
+        fx, fy = cfg.feature_map_size[0], cfg.feature_map_size[1]
+        preds = {
+            "cls_preds": (rng.randn(1, nch, fx, fy) * 2 - 3).astype(np.float32),
+            "box_preds": (rng.randn(7, nch, fx, fy) * 0.2).astype(np.float32),
+            "dir_preds": rng.randn(2, nch, fx, fy).astype(np.float32),
+        }
+        mask = rng.rand(nch, fx, fy) > 0.3
+        pair = {
+            k: (jnp.asarray(v[..., 0::2]), jnp.asarray(v[..., 1::2]))
+            for k, v in preds.items()
+        }
+        det_m = post({k: jnp.asarray(v) for k, v in preds.items()}, jnp.asarray(mask))
+        det_p = post(pair, jnp.asarray(mask))
+        if approx:
+            assert np.asarray(det_p.valid).sum() > 0
+            assert np.isfinite(np.asarray(det_p.boxes)[np.asarray(det_p.valid)]).all()
+        else:
+            for a, b in zip(det_m, det_p):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+                )
+
+
 class TestStagedPostprocess:
     def test_stage_boundary_roundtrips(self):
         """The candidates pytree is the export/dispatch boundary
