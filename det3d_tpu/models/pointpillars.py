@@ -926,6 +926,11 @@ class PointPillars(nn.Module):
     cuda.synchronize timing, which lives in utils/timing.py instead)."""
 
     cfg: Config
+    # Optional jax.sharding.Sharding for the dense BEV canvas (B, nx, ny, C):
+    # when set, a with_sharding_constraint after the scatter lets GSPMD
+    # spatially partition the whole conv stack (halo exchanges over ICI) —
+    # the multi-chip single-frame latency path (parallel/mesh.make_spatial_infer).
+    canvas_sharding: Any = None
 
     @nn.compact
     def __call__(
@@ -972,6 +977,12 @@ class PointPillars(nn.Module):
             canvas = scatter_to_bev_pallas(pillar_features, coors, grid_xy)
         else:
             canvas = scatter_to_bev(pillar_features, coors, grid_xy)
+        if self.canvas_sharding is not None:
+            # Pin the canvas's x-axis sharding here and let GSPMD propagate it
+            # through the backbone: every conv partitions spatially (XLA
+            # inserts the halo exchanges), and the replicated-output
+            # constraint on the enclosing jit places the gather after the head.
+            canvas = jax.lax.with_sharding_constraint(canvas, self.canvas_sharding)
         # Gram-stat fused branch INs: inference-only (training keeps the
         # analytic-VJP _instance_norm path that the 48.7 ms step was tuned
         # around), packed-only, and config-gated for A/B (`fuse_in_stats`).

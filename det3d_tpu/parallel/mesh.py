@@ -2,11 +2,16 @@
 
 Scaling design (see SURVEY.md §2i / §5): this workload is a small conv net
 (~5 M params) over large per-frame data, so the right TPU decomposition is
-pure batch data-parallelism — params replicated, per-frame tensors sharded on
-the batch axis over ICI. XLA inserts the gradient `psum` automatically from
-the sharding annotations on one `jax.jit`; there is no hand-written
-collective anywhere. (The reference has no distributed path at all: a single
-`cuda:0` device, reference train.py:27.)
+pure batch data-parallelism for throughput — params replicated, per-frame
+tensors sharded on the batch axis over ICI. XLA inserts the gradient `psum`
+automatically from the sharding annotations on one `jax.jit`; there is no
+hand-written collective anywhere. (The reference has no distributed path at
+all: a single `cuda:0` device, reference train.py:27.)
+
+For single-frame LATENCY, `make_spatial_infer` instead partitions one frame
+spatially: the BEV canvas is pinned sharded along x and GSPMD partitions the
+conv stack across the mesh with automatic halo exchanges — batch parallelism
+cannot shrink the latency of one frame, spatial partitioning can.
 """
 
 from __future__ import annotations
@@ -18,15 +23,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
-def make_mesh(n_devices: int | None = None) -> Mesh:
+def _take_devices(n_devices: int | None):
     devices = jax.devices()
     if n_devices is not None:
         if len(devices) < n_devices:
             raise ValueError(f"need {n_devices} devices, have {len(devices)}")
         devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+    return devices
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    return Mesh(np.asarray(_take_devices(n_devices)), (DATA_AXIS,))
+
+
+def make_spatial_mesh(n_devices: int | None = None) -> Mesh:
+    """1D mesh over the SPATIAL axis for single-frame latency scaling."""
+    return Mesh(np.asarray(_take_devices(n_devices)), (SPATIAL_AXIS,))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -51,6 +66,45 @@ def make_sharded_train_step(trainer, mesh: Mesh):
         out_shardings=(replicated(mesh), replicated(mesh), replicated(mesh)),
         donate_argnums=(0,),
     )
+
+
+def make_spatial_infer(cfg, mesh: Mesh, **detector_kwargs):
+    """Single-frame inference spatially partitioned over the mesh.
+
+    Data parallelism shards frames; this shards ONE frame: the BEV canvas is
+    pinned sharded along its x axis (`PointPillars.canvas_sharding`) and GSPMD
+    propagates that through the backbone, partitioning every convolution
+    spatially with automatic halo exchanges over ICI — the TPU analogue of
+    model-parallel latency scaling (the reference is strictly single-GPU).
+    The tiny pre-scatter stages (voxelize, PFN) and the post-head decode run
+    replicated; the jit's replicated output sharding places the gather after
+    the head, where tensors are already small.
+
+    Returns `(detector, infer_fn)`: `infer_fn(variables, points, num_points)`
+    → Detections, numerically equal to the single-device path (validated in
+    tests/test_parallel.py on the virtual CPU mesh).
+    """
+    from det3d_tpu.pipeline import Detector
+
+    # any 1D mesh works — shard the canvas's x axis over its (sole) axis
+    axis = mesh.axis_names[0]
+    canvas_sharding = NamedSharding(mesh, P(None, axis))
+    det = Detector(cfg, canvas_sharding=canvas_sharding, **detector_kwargs)
+
+    rep = replicated(mesh)
+    stage1 = jax.jit(
+        det.infer_candidates,
+        in_shardings=(rep, rep, rep),
+        out_shardings=rep,
+    )
+    stage2 = jax.jit(
+        det.postprocess.finalize_stage, in_shardings=(rep,), out_shardings=rep
+    )
+
+    def infer_fn(variables, points, num_points):
+        return stage2(stage1(variables, points, num_points))
+
+    return det, infer_fn
 
 
 def make_sharded_infer(detector, mesh: Mesh):

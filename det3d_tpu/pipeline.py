@@ -31,11 +31,18 @@ from det3d_tpu.postprocess import Detections, make_postprocessor, to_annos
 class Detector:
     """Owns the model, anchors, and the compiled points→detections function."""
 
-    def __init__(self, cfg: Config, *, fcfs: bool = True, postprocess_params=None):
+    def __init__(
+        self,
+        cfg: Config,
+        *,
+        fcfs: bool = True,
+        postprocess_params=None,
+        canvas_sharding=None,
+    ):
         self.cfg = cfg
         self.spec = VoxelizerSpec.from_config(cfg)
         self.anchor_set: AnchorSet = build_anchors(cfg)
-        self.model = PointPillars(cfg)
+        self.model = PointPillars(cfg, canvas_sharding=canvas_sharding)
         self.postprocess = make_postprocessor(cfg, self.anchor_set, postprocess_params)
         self._corner_cells = jnp.asarray(self.anchor_set.corner_cells)
         self._fcfs = fcfs

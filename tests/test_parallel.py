@@ -102,6 +102,64 @@ class TestShardedInfer:
             )
 
 
+class TestSpatialInfer:
+    def test_spatially_partitioned_infer_matches_single_device(self, mesh):
+        """Canvas pinned sharded on x (PointPillars.canvas_sharding) → GSPMD
+        partitions the conv stack across the mesh; final detections must
+        match the unsharded single-device path exactly."""
+        from det3d_tpu.parallel.mesh import make_spatial_infer
+        from det3d_tpu.pipeline import Detector
+
+        cfg = small_cfg()
+        det_sp, infer_sp = make_spatial_infer(cfg, mesh)
+        v = det_sp.init_variables(jax.random.PRNGKey(0))
+
+        det_1 = Detector(cfg)
+        sample = _samples(cfg, 1, seed=5)[0]
+        pts, n = det_1.pad_points(sample["points"])
+
+        out_sp = infer_sp(v, pts, n)
+        out_1 = det_1.infer_jit(v, pts, n)
+
+        # tolerance absorbs cross-shard reduction-order noise in the
+        # InstanceNorm statistics (per-shard partial sums combine in a
+        # different order than the single-device column reduce)
+        np.testing.assert_allclose(
+            np.asarray(out_sp.scores), np.asarray(out_1.scores), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_sp.boxes), np.asarray(out_1.boxes),
+            rtol=5e-3, atol=1e-2,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_sp.valid), np.asarray(out_1.valid)
+        )
+
+    def test_spatial_partitioning_actually_shards_convs(self, mesh):
+        """The compiled stage-1 program must contain cross-device halo
+        communication (collective-permute / all-gather) — i.e. the conv
+        stack genuinely partitions instead of silently replicating."""
+        from det3d_tpu.parallel.mesh import make_spatial_infer
+
+        cfg = small_cfg()
+        det_sp, _ = make_spatial_infer(cfg, mesh)
+        v = det_sp.init_variables(jax.random.PRNGKey(0))
+        pts = np.zeros((cfg.max_points, 4), np.float32)
+
+        import jax.numpy as jnp
+
+        lowered = jax.jit(
+            det_sp.infer_candidates,
+            in_shardings=(
+                jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+            ) * 3,
+        ).lower(v, jnp.asarray(pts), jnp.int32(16))
+        txt = lowered.compile().as_text()
+        assert ("collective-permute" in txt) or ("all-gather" in txt), (
+            "no halo-exchange collectives in the spatially-sharded program"
+        )
+
+
 class TestPreparePaths:
     def test_unrolled_prepare_matches_vmap(self):
         """The b<=8 unrolled per-sample preparation (a TPU perf fix: batched
