@@ -88,6 +88,38 @@ def measure(config_path: str, iters: int) -> dict:
     }
 
 
+def _wait_for_backend(max_wait_s: float) -> None:
+    """Retry backend init until the device shows up (or the budget runs out).
+
+    The axon TPU tunnel has observed multi-minute outages ("TPU backend
+    setup/compile error (Unavailable)"); a transient outage at launch should
+    delay the benchmark, not kill it. Probes run in SUBPROCESSES because a
+    failed in-process init can leave the backend registry poisoned."""
+    import subprocess
+    import sys
+
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=300,
+            )
+            ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False  # init hanging counts as down
+        if ok:
+            return
+        if time.monotonic() >= deadline:
+            sys.stderr.write(
+                "bench.py: backend still unavailable after "
+                f"{max_wait_s:.0f}s; proceeding (will fail with the real error)\n"
+            )
+            return
+        sys.stderr.write("bench.py: backend unavailable, retrying in 60s\n")
+        time.sleep(60)
+
+
 def main() -> None:
     import argparse
 
@@ -111,6 +143,7 @@ def main() -> None:
     except Exception:
         pass
 
+    _wait_for_backend(max_wait_s=1800.0)
     primary = measure(args.config, args.iters)
     thru_ms = primary["thru_ms"]
     target_ms = 10.0
