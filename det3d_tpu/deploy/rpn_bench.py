@@ -31,7 +31,6 @@ _PROFILE_ITERS = 8  # distinct input buffers (dedup guard); device-time avg
 
 def _device_time_ms(fn, inputs) -> float:
     """Average per-call device time from a jax.profiler trace."""
-    import collections
     import glob
     import gzip
     import json
