@@ -110,6 +110,32 @@ def main():
         shp = shape_of.get(name, "?")
         print(f"{dur / args.frames / 1e3:8.3f} ms  {name[:46]:46s} {shp[:38]:38s} {loc}")
 
+    # categorized rollup: where does the time go by op class?
+    cats = collections.Counter()
+    for name, dur in per_op.items():
+        base = name.split(".")[0]
+        if "convolution" in base or base.startswith("conv"):
+            c = "convs"
+        elif "dot" in base or "gemm" in base:
+            c = "matmuls"
+        elif base in ("copy", "transpose", "reshape", "bitcast", "pad", "slice",
+                      "concatenate", "dynamic-slice", "dynamic-update-slice"):
+            c = "relayouts/copies"
+        elif "reduce" in base or "scan" in base or "cumsum" in base:
+            c = "reduces"
+        elif "sort" in base:
+            c = "sorts"
+        elif base.startswith("_") or "pallas" in base or base.endswith("_impl"):
+            c = "pallas kernels"
+        elif "fusion" in base:
+            c = "fusions (mixed)"
+        else:
+            c = "other"
+        cats[c] += dur
+    print("\n-- rollup by op class --")
+    for c, dur in cats.most_common():
+        print(f"{dur / args.frames / 1e3:8.3f} ms  {c}")
+
 
 if __name__ == "__main__":
     main()
