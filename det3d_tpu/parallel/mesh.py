@@ -12,6 +12,11 @@ For single-frame LATENCY, `make_spatial_infer` instead partitions one frame
 spatially: the BEV canvas is pinned sharded along x and GSPMD partitions the
 conv stack across the mesh with automatic halo exchanges — batch parallelism
 cannot shrink the latency of one frame, spatial partitioning can.
+
+For large-canvas TRAINING, `make_spatial_train` combines both on a 2D
+(data, spatial) mesh: batch sharded over `data`, every conv activation
+(forward and backward) sharded along x over `spatial` — the activation-memory
+scaling mode pure DP can't provide.
 """
 
 from __future__ import annotations
@@ -44,6 +49,13 @@ def make_spatial_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.asarray(_take_devices(n_devices)), (SPATIAL_AXIS,))
 
 
+def make_hybrid_mesh(dp: int, sp: int) -> Mesh:
+    """2D (data, spatial) mesh for hybrid-parallel training: `dp` data-parallel
+    groups × `sp`-way spatial partitioning within each group."""
+    devices = _take_devices(dp * sp)
+    return Mesh(np.asarray(devices).reshape(dp, sp), (DATA_AXIS, SPATIAL_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -66,6 +78,48 @@ def make_sharded_train_step(trainer, mesh: Mesh):
         out_shardings=(replicated(mesh), replicated(mesh), replicated(mesh)),
         donate_argnums=(0,),
     )
+
+
+def make_spatial_train(cfg, mesh: Mesh, *, s2b_fence: bool = False, **trainer_kwargs):
+    """Hybrid DP×SP training step over a 2D (data, spatial) mesh.
+
+    Batch data-parallelism alone replicates each sample's activation
+    footprint, and at large canvases (ntusl_10cm: 1600² grid) the conv
+    activations — not the 5 M params — are the train-step memory ceiling.
+    This mode shards the batch over `data` AND each sample's BEV canvas along
+    x over `spatial`: from that single `with_sharding_constraint`
+    (`PointPillars.canvas_sharding`) GSPMD partitions every convolution's
+    forward, input-gradient, and weight-gradient spatially — halo exchanges
+    and the wgrad partial-sum reduction ride ICI automatically — while
+    gradients all-reduce over `data` exactly as in the pure-DP step. Activation
+    memory per chip drops ~sp×; no hand-written collective anywhere.
+
+    `s2b_fence` defaults OFF here (unlike `Trainer`): the fence is a Pallas
+    no-op custom call GSPMD cannot partition, so it would force the head
+    output replicated right before the loss and defeat the spatial sharding.
+
+    Returns `(trainer, step_fn)` with `step_fn(state, batch)` semantics
+    identical to `Trainer.train_step_jit` (validated against the
+    single-device step in tests/test_parallel.py on the virtual CPU mesh).
+    """
+    from det3d_tpu.pipeline import Detector
+    from det3d_tpu.train.trainer import Trainer
+
+    if SPATIAL_AXIS not in mesh.axis_names or DATA_AXIS not in mesh.axis_names:
+        raise ValueError(f"need a (data, spatial) mesh, got axes {mesh.axis_names}")
+    # batch dim UNCONSTRAINED: GSPMD propagates it from the batch-sharded
+    # inputs, and the model's init trace (batch 1) stays legal — a hard
+    # P(data, ...) would demand divisibility by |data| even at init
+    canvas_sharding = NamedSharding(mesh, P(P.UNCONSTRAINED, SPATIAL_AXIS))
+    det = Detector(cfg, canvas_sharding=canvas_sharding)
+    trainer = Trainer(cfg, det, s2b_fence=s2b_fence, **trainer_kwargs)
+    step = jax.jit(
+        trainer.train_step,
+        in_shardings=(replicated(mesh), batch_sharded(mesh)),
+        out_shardings=(replicated(mesh), replicated(mesh), replicated(mesh)),
+        donate_argnums=(0,),
+    )
+    return trainer, step
 
 
 def make_spatial_infer(cfg, mesh: Mesh, **detector_kwargs):
