@@ -103,12 +103,35 @@ def train(
     synthetic: bool = False,
     model_dir: str | None = None,
     seed: int = 0,
+    spatial_shards: int = 1,
 ) -> None:
     model_dir = Path(model_dir or (Path(cfg.model_path or ".") / cfg.experiment))
     model_dir.mkdir(parents=True, exist_ok=True)
     log_path = model_dir / "log.txt"
 
-    trainer = Trainer(cfg)
+    n_dev = len(jax.devices())
+    hybrid_mesh = None
+    if spatial_shards > 1:
+        # hybrid DP×SP: batch over `data`, conv activations sharded over
+        # `spatial` — the activation-memory scaling mode for large canvases
+        # (parallel/mesh.make_spatial_train)
+        from det3d_tpu.parallel.mesh import make_hybrid_mesh, make_spatial_train
+
+        if n_dev % spatial_shards:
+            raise ValueError(
+                f"--spatial-shards {spatial_shards} must divide the "
+                f"{n_dev} visible devices"
+            )
+        dp = n_dev // spatial_shards
+        if cfg.batch_size % max(dp, 1):
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must be divisible by the "
+                f"data-parallel factor {dp} (= devices/spatial_shards)"
+            )
+        hybrid_mesh = make_hybrid_mesh(dp, spatial_shards)
+        trainer, hybrid_step = make_spatial_train(cfg, hybrid_mesh)
+    else:
+        trainer = Trainer(cfg)
     ckpt = CheckpointManager(model_dir)
 
     state = trainer.init_state(jax.random.PRNGKey(seed))
@@ -119,8 +142,19 @@ def train(
         state = Trainer.override_lr(restored, cfg.learning_rate)
         print(f"resumed from step {int(state.step)} (lr={cfg.learning_rate})")
 
-    n_dev = len(jax.devices())
-    if n_dev > 1 and cfg.batch_size % n_dev == 0:
+    if hybrid_mesh is not None:
+        from det3d_tpu.parallel.mesh import shard_batch
+
+        step_fn = hybrid_step
+        state = jax.device_put(
+            state, jax.sharding.NamedSharding(hybrid_mesh, jax.sharding.PartitionSpec())
+        )
+        place = lambda b: shard_batch(hybrid_mesh, b)
+        print(
+            f"hybrid {n_dev // spatial_shards}x{spatial_shards} "
+            f"(data x spatial) over {n_dev} devices"
+        )
+    elif n_dev > 1 and cfg.batch_size % n_dev == 0:
         from det3d_tpu.parallel.mesh import make_mesh, make_sharded_train_step, shard_batch
 
         mesh = make_mesh(n_dev)

@@ -52,6 +52,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--display-step", type=int, default=50)
     p.add_argument("--eval-frames", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--spatial-shards", type=int, default=1,
+        help="hybrid DP x SP training: shard each sample's conv activations "
+        "spatially over this many devices (devices/spatial_shards become "
+        "data-parallel groups); 1 = pure data-parallel",
+    )
 
     p = sub.add_parser("infer", help="offline eval + timing (reference train.py:187)")
     add_common(p)
@@ -139,6 +145,7 @@ def main(argv: list[str] | None = None) -> None:
             synthetic=args.synthetic,
             model_dir=args.model_dir,
             seed=args.seed,
+            spatial_shards=args.spatial_shards,
         )
     elif args.cmd == "infer":
         if args.exported:
