@@ -157,7 +157,14 @@ def main() -> None:
         "baseline": "10ms north-star target (reference publishes no numbers)",
     }
     if not args.skip_10cm and "ntusl_20cm" in args.config:
-        ten = measure("configs/ntusl_10cm.json", max(args.iters // 2, 8))
+        import os
+
+        # resolve next to this script (a CWD-relative path would die AFTER
+        # the 20cm measurement when bench.py runs from another directory)
+        ten_cfg = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "configs", "ntusl_10cm.json"
+        )
+        ten = measure(ten_cfg, max(args.iters // 2, 8))
         extra["ntusl_10cm"] = {
             "e2e_frame_time_pipelined_ms": round(ten["thru_ms"], 3),
             "pipelined_windows_ms": ten["windows"],

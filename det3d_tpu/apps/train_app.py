@@ -29,7 +29,7 @@ from det3d_tpu.train.metrics import RunningMetrics
 from det3d_tpu.train.trainer import Trainer, host_batch
 
 
-def _batch_iterator(cfg: Config, synthetic: bool, seed: int = 0):
+def _batch_iterator(cfg: Config, synthetic: bool, seed: int = 0, device_augment: bool = False):
     """Yield host TrainBatches forever (reference's dataloader loop,
     train.py:92-99, restarts the iterator at epoch end)."""
     rng = np.random.RandomState(seed)
@@ -41,7 +41,10 @@ def _batch_iterator(cfg: Config, synthetic: bool, seed: int = 0):
         from det3d_tpu.data.dataset import DetectionDataset
         from det3d_tpu.data.prefetcher import BatchPrefetcher
 
-        ds = DetectionDataset(cfg, cfg.train_info, training=True, seed=seed)
+        ds = DetectionDataset(
+            cfg, cfg.train_info, training=True, seed=seed,
+            device_global_augment=device_augment,
+        )
         # num_workers>0 → forked worker processes do IO+augmentation ahead of
         # the consumer (reference DataLoader workers, train.py:37-55)
         pf = BatchPrefetcher(ds, cfg, cfg.num_workers, seed=seed)
@@ -104,6 +107,7 @@ def train(
     model_dir: str | None = None,
     seed: int = 0,
     spatial_shards: int = 1,
+    device_augment: bool = False,
 ) -> None:
     model_dir = Path(model_dir or (Path(cfg.model_path or ".") / cfg.experiment))
     model_dir.mkdir(parents=True, exist_ok=True)
@@ -129,9 +133,11 @@ def train(
                 f"data-parallel factor {dp} (= devices/spatial_shards)"
             )
         hybrid_mesh = make_hybrid_mesh(dp, spatial_shards)
-        trainer, hybrid_step = make_spatial_train(cfg, hybrid_mesh)
+        trainer, hybrid_step = make_spatial_train(
+            cfg, hybrid_mesh, device_global_augment=device_augment, aug_seed=seed
+        )
     else:
-        trainer = Trainer(cfg)
+        trainer = Trainer(cfg, device_global_augment=device_augment, aug_seed=seed)
     ckpt = CheckpointManager(model_dir)
 
     state = trainer.init_state(jax.random.PRNGKey(seed))
@@ -169,7 +175,7 @@ def train(
         place = lambda b: b
 
     metrics = RunningMetrics()
-    batches = _batch_iterator(cfg, synthetic, seed)
+    batches = _batch_iterator(cfg, synthetic, seed, device_augment=device_augment)
     eval_set = None
 
     t0 = time.perf_counter()

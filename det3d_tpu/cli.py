@@ -58,6 +58,12 @@ def main(argv: list[str] | None = None) -> None:
         "spatially over this many devices (devices/spatial_shards become "
         "data-parallel groups); 1 = pure data-parallel",
     )
+    p.add_argument(
+        "--device-augment", action="store_true",
+        help="run the global augmentation transforms (flip/rotate/scale/"
+        "translate) on device inside the jitted step; the host dataloader "
+        "keeps only the per-object noise",
+    )
 
     p = sub.add_parser("infer", help="offline eval + timing (reference train.py:187)")
     add_common(p)
@@ -146,6 +152,7 @@ def main(argv: list[str] | None = None) -> None:
             model_dir=args.model_dir,
             seed=args.seed,
             spatial_shards=args.spatial_shards,
+            device_augment=args.device_augment,
         )
     elif args.cmd == "infer":
         if args.exported:

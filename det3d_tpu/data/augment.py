@@ -10,7 +10,9 @@ and boxes, with only the unavoidable sequential accept/update loop over gt
 boxes (N ≲ 50) left in python.
 
 Runs on CPU in the input pipeline ahead of the on-device voxelizer; the
-global transforms also exist as on-device jnp (see `global_augment_device`).
+global transforms also exist as on-device jnp (`global_augment_device`) and
+run inside the jitted train step with `Trainer(device_global_augment=True)`
+(CLI `train --device-augment`), leaving only the per-object noise host-side.
 """
 
 from __future__ import annotations
@@ -366,12 +368,20 @@ def global_augment_device(points, gt_boxes, key):
     return apply_global_augment(points, gt_boxes, sample_global_augment_params(key))
 
 
-def augment_sample(points, gt_boxes, gt_valid_mask=None, rng=None):
+def augment_sample(points, gt_boxes, gt_valid_mask=None, rng=None, *, global_transforms=True):
     """Full training augmentation chain, reference order
     (framework/dataset.py:122-133): per-object noise → flip → rotation →
-    scaling → translation. Mutates and returns (gt_boxes, points)."""
+    scaling → translation. Mutates and returns (gt_boxes, points).
+
+    `global_transforms=False` keeps only the per-object noise (whose
+    collision search is inherently sequential and stays host-side) — used
+    when the global transforms run on device instead
+    (`Trainer(device_global_augment=True)` applies `apply_global_augment`
+    inside the jitted step)."""
     rng = rng or np.random.RandomState()
     noise_per_object(gt_boxes, points, gt_valid_mask, rng=rng)
+    if not global_transforms:
+        return gt_boxes, points
     gt_boxes, points = random_flip(gt_boxes, points, rng)
     gt_boxes, points = global_rotation(gt_boxes, points, rng)
     gt_boxes, points = global_scaling(gt_boxes, points, rng)

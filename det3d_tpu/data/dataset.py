@@ -76,11 +76,16 @@ class DetectionDataset:
         training: bool = True,
         augment: bool = True,
         seed: int | None = None,
+        device_global_augment: bool = False,
     ):
         self.cfg = cfg
         self.data_root = Path(cfg.data_root)
         self.training = training
         self.augment = augment and training
+        # when the trainer applies the global transforms on device
+        # (Trainer(device_global_augment=True)), the host chain keeps only
+        # the per-object noise so nothing is augmented twice
+        self.device_global_augment = device_global_augment
         self.rng = np.random.RandomState(seed)
         self.infos: list[dict] = []
         for p in info_paths:
@@ -119,14 +124,22 @@ class DetectionDataset:
         ).astype(np.float32)
 
         if self.augment:
-            gt_boxes, points = agm.augment_sample(points, gt_boxes, rng=self.rng)
+            gt_boxes, points = agm.augment_sample(
+                points, gt_boxes, rng=self.rng,
+                global_transforms=not self.device_global_augment,
+            )
 
-        # range filter + yaw wrap (reference dataset.py:136-143)
-        dr = np.asarray(self.cfg.detection_range)
-        keep = _filter_gt_outside_range_np(gt_boxes, dr[[0, 1, 3, 4]])
-        gt_boxes = gt_boxes[keep]
-        gt_classes = gt_classes[keep]
-        gt_boxes[:, 6] = _limit_period_np(gt_boxes[:, 6])
+        # range filter + yaw wrap (reference dataset.py:136-143). With
+        # device_global_augment the filter must NOT run here: the reference
+        # order is transform-then-filter, and the trainer applies the same
+        # filter on device after its global transforms
+        # (Trainer._device_augment_one).
+        if not (self.augment and self.device_global_augment):
+            dr = np.asarray(self.cfg.detection_range)
+            keep = _filter_gt_outside_range_np(gt_boxes, dr[[0, 1, 3, 4]])
+            gt_boxes = gt_boxes[keep]
+            gt_classes = gt_classes[keep]
+            gt_boxes[:, 6] = _limit_period_np(gt_boxes[:, 6])
         self.rng.shuffle(points)
 
         sample.update(points=points, gt_boxes=gt_boxes, gt_classes=gt_classes)

@@ -24,11 +24,12 @@ def _copy_kernel(x_ref, o_ref):
     o_ref[:] = x_ref[:]
 
 
-def _pick_chunk(a: int, cap: int = 256 * 1024) -> int:
+def _pick_chunk(a: int, cap: int = 256 * 1024) -> int | None:
     """Largest 128-multiple divisor of `a` that is ≤ cap (keeps the
     double-buffered in+out blocks well inside the 16 MB scoped-VMEM limit);
-    falls back to the full dim when none exists (legal as full-size)."""
-    best = a
+    None when no such divisor exists (the caller pads instead — a full-size
+    block of a large non-128-divisible dim would blow the VMEM budget)."""
+    best = None
     c = 128
     while c <= min(a, cap):
         if a % c == 0:
@@ -40,32 +41,46 @@ def _pick_chunk(a: int, cap: int = 256 * 1024) -> int:
 def _fence_impl(x: jax.Array, interpret: bool) -> jax.Array:
     b, k, a = x.shape
     chunk = _pick_chunk(a)
+    apad = a
+    if chunk is None:
+        # no 128-multiple divisor ≤ cap: pad the chunked axis instead of
+        # falling back to one full-size (possibly tens-of-MB) VMEM block
+        chunk = min(128 * 1024, -(-a // 128) * 128)
+        apad = -(-a // chunk) * chunk
     # dummy middle dim: Mosaic requires the last two BLOCK dims be
     # (8, 128)-divisible or full-size; (1, 1, 1, chunk) blocks of a
     # (B, K, 1, A) array satisfy that for any K
     x4 = x[:, :, None, :]
+    if apad != a:
+        import jax.numpy as jnp
+
+        x4 = jnp.pad(x4, ((0, 0), (0, 0), (0, 0), (0, apad - a)))
     out = pl.pallas_call(
         _copy_kernel,
-        grid=(b, k, a // chunk),
+        grid=(b, k, apad // chunk),
         in_specs=[
             pl.BlockSpec((1, 1, 1, chunk), lambda bi, ki, ci: (bi, ki, 0, ci),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, 1, chunk), lambda bi, ki, ci: (bi, ki, 0, ci),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, k, 1, a), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, k, 1, apad), x.dtype),
         interpret=interpret,
     )(x4)
-    return out[:, :, 0, :]
+    return out[:, :, 0, :a]
 
 
 @jax.custom_vjp
 def s2b_fence(x: jax.Array) -> jax.Array:
-    """Identity on a (B, K, A) tensor via a Pallas custom call (TPU); plain
-    identity elsewhere. Differentiable: the VJP passes cotangents through."""
-    if jax.default_backend() != "tpu":
+    """Identity via a Pallas custom call (TPU); plain identity elsewhere.
+    Accepts any rank ≥ 1: trailing dims flatten into the chunked axis (the
+    spatial preds contract made cls_preds 5D — (B, k, nch, fx, fy)).
+    Differentiable: the VJP passes cotangents through."""
+    if jax.default_backend() != "tpu" or x.ndim == 0 or x.size == 0:
         return x
-    return _fence_impl(x, interpret=False)
+    if x.ndim == 3:
+        return _fence_impl(x, interpret=False)
+    return _fence_impl(x.reshape(x.shape[0], 1, -1), interpret=False).reshape(x.shape)
 
 
 def _fence_fwd(x):
@@ -80,10 +95,10 @@ s2b_fence.defvjp(_fence_fwd, _fence_bwd)
 
 
 def fence_any(x: jax.Array) -> jax.Array:
-    """Identity fence for an arbitrary-shape array (flattened to (1,1,N)).
-    Used on the weight-gradient pytree: the forward fence only reaches convs
-    upstream of the loss, while wgrad convolutions' outputs ARE the grads —
-    fencing them keeps space-to-batch out of the backward pass too."""
+    """Identity fence for an arbitrary-shape array. Used on the
+    weight-gradient pytree: the forward fence only reaches convs upstream of
+    the loss, while wgrad convolutions' outputs ARE the grads — fencing them
+    keeps space-to-batch out of the backward pass too."""
     if jax.default_backend() != "tpu" or x.ndim == 0 or x.size == 0:
         return x
     return s2b_fence(x.reshape(1, 1, -1)).reshape(x.shape)

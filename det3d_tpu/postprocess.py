@@ -82,20 +82,9 @@ def _bucketed_topk(scores: jax.Array, k: int):
     b = n // bsz
     if b <= k:  # degenerate: bucketing can't help
         return jax.lax.top_k(scores, k)
-    s2 = scores.reshape(b, bsz)
-    bmax = jnp.max(s2, axis=1)
-    barg = jnp.argmax(s2, axis=1).astype(jnp.int32)
+    bmax, barg = _bucket_reduce(scores, b, bsz)
     top, bidx = jax.lax.top_k(bmax, k)
     return top, bidx * bsz + barg[bidx]
-
-
-def _topk(scores: jax.Array, k: int, params: PostProcessParams):
-    approx = params.approx_topk
-    if approx is None:
-        approx = jax.default_backend() == "tpu"
-    if approx and k < scores.shape[-1]:
-        return _bucketed_topk(scores, k)
-    return jax.lax.top_k(scores, k)
 
 
 def _use_approx(params: PostProcessParams) -> bool:
@@ -103,6 +92,12 @@ def _use_approx(params: PostProcessParams) -> bool:
     if approx is None:
         approx = jax.default_backend() == "tpu"
     return approx
+
+
+def _topk(scores: jax.Array, k: int, params: PostProcessParams):
+    if _use_approx(params) and k < scores.shape[-1]:
+        return _bucketed_topk(scores, k)
+    return jax.lax.top_k(scores, k)
 
 
 def _row_bucket_size(fy: int, n: int, k: int) -> int:
@@ -126,11 +121,16 @@ def _bucketed_topk_rows(g: jax.Array, k: int):
     b = n // bsz
     if b <= k:
         return jax.lax.top_k(g.reshape(-1), k)
-    s2 = g.reshape(b, bsz)
-    bmax = jnp.max(s2, axis=1)
-    barg = jnp.argmax(s2, axis=1).astype(jnp.int32)
+    bmax, barg = _bucket_reduce(g, b, bsz)
     top, bidx = jax.lax.top_k(bmax, k)
     return top, bidx * bsz + barg[bidx]
+
+
+def _bucket_reduce(g: jax.Array, b: int, bsz: int):
+    """Per-bucket (max, argmax) of a map viewed as (b, bsz) — the shared
+    reduce body of the single-map and parity-pair bucketed top-k."""
+    s2 = g.reshape(b, bsz)
+    return jnp.max(s2, axis=1), jnp.argmax(s2, axis=1).astype(jnp.int32)
 
 
 def _bucketed_topk_pair(g0: jax.Array, g1: jax.Array, k: int):
@@ -146,13 +146,9 @@ def _bucketed_topk_pair(g0: jax.Array, g1: jax.Array, k: int):
         return jax.lax.top_k(
             jnp.concatenate([g0.reshape(-1), g1.reshape(-1)]), k
         )
-    bmax_l, barg_l = [], []
-    for g in (g0, g1):
-        s2 = g.reshape(b, bsz)
-        bmax_l.append(jnp.max(s2, axis=1))
-        barg_l.append(jnp.argmax(s2, axis=1).astype(jnp.int32))
-    bmax = jnp.concatenate(bmax_l)
-    barg = jnp.concatenate(barg_l)
+    per_parity = [_bucket_reduce(g, b, bsz) for g in (g0, g1)]
+    bmax = jnp.concatenate([m for m, _ in per_parity])
+    barg = jnp.concatenate([a for _, a in per_parity])
     top, bidx = jax.lax.top_k(bmax, k)
     return top, bidx * bsz + barg[bidx]
 

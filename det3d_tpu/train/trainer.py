@@ -51,10 +51,26 @@ class TrainBatch(NamedTuple):
 
 class Trainer:
     def __init__(
-        self, cfg: Config, detector: Detector | None = None, *, s2b_fence: bool = True
+        self,
+        cfg: Config,
+        detector: Detector | None = None,
+        *,
+        s2b_fence: bool = True,
+        device_global_augment: bool = False,
+        aug_seed: int = 0,
     ):
         self.cfg = cfg
         self.use_s2b_fence = s2b_fence
+        # on-device global augmentation: the host pipeline keeps only the
+        # per-object noise (its collision search is inherently sequential);
+        # flip/rotate/scale/translate run as jnp inside the jitted step
+        # (data/augment.apply_global_augment). Pair with
+        # DetectionDataset(device_global_augment=True) so the host chain
+        # skips its global transforms.
+        self.device_global_augment = device_global_augment
+        self._aug_key = (
+            jax.random.PRNGKey(aug_seed) if device_global_augment else None
+        )
         self.detector = detector or Detector(cfg)
         self.assigner = make_target_assigner(cfg, self.detector.anchor_set)
         # lr lives inside opt_state (inject_hyperparams) so a resumed run can
@@ -88,7 +104,21 @@ class Trainer:
         )
 
     # -- the step ----------------------------------------------------------
-    def _prepare(self, batch: TrainBatch):
+    def _device_augment_one(self, points, gt_boxes, gt_valid, key):
+        """Global flip/rotate/scale/translate on device, then the host path's
+        post-augment range filter + yaw wrap (data/dataset.py:126-129) as a
+        gt_valid mask update (static shapes). Padded point rows transform
+        harmlessly — the voxelizer masks by true count, not values."""
+        from det3d_tpu.data.augment import global_augment_device
+        from det3d_tpu.ops.geometry import filter_gt_box_outside_range, limit_period
+
+        points, gt_boxes = global_augment_device(points, gt_boxes, key)
+        dr = self.cfg.detection_range
+        keep = filter_gt_box_outside_range(gt_boxes, (dr[0], dr[1], dr[3], dr[4]))
+        gt_boxes = gt_boxes.at[:, 6].set(limit_period(gt_boxes[:, 6]))
+        return points, gt_boxes, gt_valid & keep
+
+    def _prepare(self, batch: TrainBatch, aug_key: jax.Array | None = None):
         """Per-sample on-device preprocessing + target assignment.
 
         Unrolled over the (static, small) batch instead of vmapped: under
@@ -100,28 +130,44 @@ class Trainer:
         which is kept fast deliberately. vmap remains for large batches
         where graph duplication would bloat compile time."""
 
-        def one(points, num_points, gt_boxes, gt_classes, gt_valid):
+        def one(points, num_points, gt_boxes, gt_classes, gt_valid, key=None):
+            if key is not None:
+                points, gt_boxes, gt_valid = self._device_augment_one(
+                    points, gt_boxes, gt_valid, key
+                )
             frame, anchors_mask = self.detector.preprocess(points, num_points)
             tgt = self.assigner(gt_boxes, gt_classes, gt_valid, anchors_mask)
             return frame, anchors_mask, tgt
 
         b = batch.points.shape[0]
+        keys = None if aug_key is None else jax.random.split(aug_key, b)
         if b > 8:
+            if keys is None:
+                return jax.vmap(one)(
+                    batch.points, batch.num_points, batch.gt_boxes,
+                    batch.gt_classes, batch.gt_valid,
+                )
             return jax.vmap(one)(
                 batch.points, batch.num_points, batch.gt_boxes,
-                batch.gt_classes, batch.gt_valid,
+                batch.gt_classes, batch.gt_valid, keys,
             )
         per_sample = [
             one(
                 batch.points[i], batch.num_points[i], batch.gt_boxes[i],
                 batch.gt_classes[i], batch.gt_valid[i],
+                None if keys is None else keys[i],
             )
             for i in range(b)
         ]
         return jax.tree.map(lambda *xs: jnp.stack(xs), *per_sample)
 
     def train_step(self, state: TrainState, batch: TrainBatch):
-        frame, anchors_mask, tgt = self._prepare(batch)
+        aug_key = (
+            None
+            if self._aug_key is None
+            else jax.random.fold_in(self._aug_key, state.step)
+        )
+        frame, anchors_mask, tgt = self._prepare(batch, aug_key)
 
         def loss_fn(params):
             preds, updates = self.detector.model.apply(

@@ -112,8 +112,14 @@ class SceneViewer:
         info = self.infos[idx]
         if "img_path" not in info:
             raise ValueError(f"frame {idx}: info has no img_path (lidar-only dataset?)")
-        if "calib/P2" not in info:
-            raise ValueError(f"frame {idx}: info has no calib — cannot project boxes")
+        missing = [
+            k for k in ("calib/P2", "calib/R0_rect", "calib/Tr_velo_to_cam")
+            if k not in info
+        ]
+        if missing:
+            raise ValueError(
+                f"frame {idx}: info lacks {missing} — cannot project boxes"
+            )
         image = mpimg.imread(str(Path(self.cfg.data_root) / info["img_path"]))
 
         gt_boxes = None
