@@ -130,11 +130,26 @@ class DetectionDataset:
             )
 
         # range filter + yaw wrap (reference dataset.py:136-143). With
-        # device_global_augment the filter must NOT run here: the reference
-        # order is transform-then-filter, and the trainer applies the same
-        # filter on device after its global transforms
-        # (Trainer._device_augment_one).
-        if not (self.augment and self.device_global_augment):
+        # device_global_augment the exact filter must NOT run here: the
+        # reference order is transform-then-filter, and the trainer applies
+        # the same filter on device after its global transforms
+        # (Trainer._device_augment_one). A conservative radius pre-filter
+        # still runs so certainly-unreachable boxes don't occupy the fixed
+        # max_gt_boxes slots (host_batch truncates): the global transforms
+        # shrink a corner radius by at most scale 0.9 and translation ~2 m
+        # (flip/rotation preserve radius), so any box whose nearest corner
+        # radius exceeds (sqrt2-corner radius + 2)/0.9 can never re-enter.
+        if self.augment and self.device_global_augment:
+            dr = np.asarray(self.cfg.detection_range)
+            rmax = float(np.hypot(np.abs(dr[[0, 3]]).max(), np.abs(dr[[1, 4]]).max()))
+            corners = agm.box2d_corners_np(
+                gt_boxes[:, [0, 1, 3, 4, 6]].astype(np.float64)
+            )
+            rmin = np.hypot(corners[..., 0], corners[..., 1]).min(axis=1)
+            keep = rmin <= (rmax + 2.0) / 0.9
+            gt_boxes = gt_boxes[keep]
+            gt_classes = gt_classes[keep]
+        else:
             dr = np.asarray(self.cfg.detection_range)
             keep = _filter_gt_outside_range_np(gt_boxes, dr[[0, 1, 3, 4]])
             gt_boxes = gt_boxes[keep]

@@ -80,7 +80,10 @@ def s2b_fence(x: jax.Array) -> jax.Array:
         return x
     if x.ndim == 3:
         return _fence_impl(x, interpret=False)
-    return _fence_impl(x.reshape(x.shape[0], 1, -1), interpret=False).reshape(x.shape)
+    # non-3D: flatten EVERYTHING into the chunked axis. Keeping dims as grid
+    # axes is pathological for e.g. rank-1 inputs ((N,1,1) → N grid steps of
+    # one element each padded to 128 lanes); one flat axis always chunks well.
+    return _fence_impl(x.reshape(1, 1, -1), interpret=False).reshape(x.shape)
 
 
 def _fence_fwd(x):

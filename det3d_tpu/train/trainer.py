@@ -115,7 +115,12 @@ class Trainer:
         points, gt_boxes = global_augment_device(points, gt_boxes, key)
         dr = self.cfg.detection_range
         keep = filter_gt_box_outside_range(gt_boxes, (dr[0], dr[1], dr[3], dr[4]))
-        gt_boxes = gt_boxes.at[:, 6].set(limit_period(gt_boxes[:, 6]))
+        # 2π wrap like the host path's _limit_period_np (dataset.py:142);
+        # limit_period's π default would alias headings that differ by π and
+        # destroy the direction targets (targets.py dir = rot_gt > 0)
+        gt_boxes = gt_boxes.at[:, 6].set(
+            limit_period(gt_boxes[:, 6], period=2 * np.pi)
+        )
         return points, gt_boxes, gt_valid & keep
 
     def _prepare(self, batch: TrainBatch, aug_key: jax.Array | None = None):
@@ -142,15 +147,11 @@ class Trainer:
         b = batch.points.shape[0]
         keys = None if aug_key is None else jax.random.split(aug_key, b)
         if b > 8:
-            if keys is None:
-                return jax.vmap(one)(
-                    batch.points, batch.num_points, batch.gt_boxes,
-                    batch.gt_classes, batch.gt_valid,
-                )
-            return jax.vmap(one)(
+            args = (
                 batch.points, batch.num_points, batch.gt_boxes,
-                batch.gt_classes, batch.gt_valid, keys,
-            )
+                batch.gt_classes, batch.gt_valid,
+            ) + (() if keys is None else (keys,))
+            return jax.vmap(one)(*args)
         per_sample = [
             one(
                 batch.points[i], batch.num_points[i], batch.gt_boxes[i],

@@ -165,6 +165,39 @@ class TestFullChain:
 
 
 class TestDeviceAugmentWiring:
+    def test_device_yaw_wrap_matches_host_period(self):
+        # the device filter+wrap step must use the host path's 2π wrap
+        # (dataset._limit_period_np): a π wrap would alias headings that
+        # differ by π and flip the direction targets (targets.py dir_targets)
+        import jax
+        import jax.numpy as jnp
+
+        from det3d_tpu.train.trainer import Trainer
+        from helpers import small_cfg
+
+        tr = Trainer(small_cfg(), device_global_augment=True, aug_seed=0)
+        yaw = 2.5  # > π/2: a π wrap would move it to 2.5 - π < 0
+        boxes = jnp.array([[0.0, 0.0, -1.0, 4.0, 2.0, 1.6, yaw]], jnp.float32)
+        pts = jnp.zeros((8, 4), jnp.float32)
+        valid = jnp.ones((1,), bool)
+        # stub the transform to identity so only the filter+wrap step acts
+        # (the real chain's scale re-fit arctan — a reference-faithful quirk,
+        # global_scaling_v2 — already collapses yaw into (-π/2, π/2], which
+        # would mask a wrong wrap period here)
+        import det3d_tpu.data.augment as dagm
+
+        orig = dagm.apply_global_augment
+        dagm.apply_global_augment = lambda p, b, params: (p, b)
+        try:
+            _, b2, v2 = tr._device_augment_one(
+                pts, boxes, valid, jax.random.PRNGKey(0)
+            )
+        finally:
+            dagm.apply_global_augment = orig
+        assert bool(v2[0])
+        # 2.5 rad is already in [-π, π): the 2π wrap leaves it alone
+        np.testing.assert_allclose(float(b2[0, 6]), yaw, atol=1e-6)
+
     def test_host_chain_global_transforms_switch(self):
         # global_transforms=False (device-augment mode) keeps only the
         # per-object noise: with zero gt boxes, points must be untouched
