@@ -147,7 +147,12 @@ def main() -> None:
     for shape in ((3, 3, 256, 256), (90,), (320, 90)):  # gradient leaves
         g = jnp.asarray(r.randn(*shape), jnp.float32)
         np.testing.assert_array_equal(np.asarray(fence_any(g)), np.asarray(g))
-    print("s2b_fence / fence_any: OK")
+    # padded-chunk path: chunk axes with NO 128-multiple divisor (the 1000²
+    # grid's 9·500·500 cls map, and a small 90-lane tail) must pad + slice
+    for shape in ((1, 3, 90), (1, 1, 2_250_000)):
+        x = jnp.asarray(r.randn(*shape), jnp.bfloat16)
+        np.testing.assert_array_equal(np.asarray(s2b_fence(x)), np.asarray(x))
+    print("s2b_fence / fence_any (+padded chunks): OK")
 
     print("ALL KERNELS COMPILE AND RUN ON", jax.default_backend())
 
