@@ -109,6 +109,12 @@ def main(argv: list[str] | None = None) -> None:
         help="also render the camera-image panel with projected 3D boxes "
         "(requires img_path + calib in the info)",
     )
+    p.add_argument(
+        "--interactive", action="store_true",
+        help="open a keyboard-driven viewer window instead of batch export "
+        "(←/→ frames, a anchors, v voxels, s screenshot, q quit; needs a "
+        "GUI matplotlib backend)",
+    )
 
     p = sub.add_parser("create-info", help="dataset indexer (reference create_info.py)")
     p.add_argument("--root", required=True)
@@ -190,11 +196,16 @@ def main(argv: list[str] | None = None) -> None:
 
         viewer = SceneViewer(cfg, info_path=args.info, dt_path=args.dt)
         start, stop = (int(v) for v in args.frames.split(":"))
-        paths = viewer.export_frames(
-            range(start, min(stop, len(viewer))), args.out,
-            show_anchors=args.anchors, show_voxels=args.voxels, image=args.image,
-        )
-        print(f"wrote {len(paths)} frames → {args.out}")
+        if args.interactive:
+            from det3d_tpu.viewer.app import InteractiveViewer
+
+            InteractiveViewer(viewer, start=start, out_dir=args.out).run()
+        else:
+            paths = viewer.export_frames(
+                range(start, min(stop, len(viewer))), args.out,
+                show_anchors=args.anchors, show_voxels=args.voxels, image=args.image,
+            )
+            print(f"wrote {len(paths)} frames → {args.out}")
     elif args.cmd == "export":
         from det3d_tpu.deploy.export import export_detector
 

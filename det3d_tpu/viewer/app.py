@@ -58,18 +58,21 @@ class SceneViewer:
             Path(self.cfg.data_root) / info["velodyne_path"], dtype=np.float32
         ).reshape(-1, self.cfg.num_point_features)
 
-    def render_frame(
+    def build_renderer(
         self,
         idx: int,
-        out_path: str | Path,
         *,
         show_anchors: bool = False,
         show_voxels: bool = False,
-    ) -> Path:
+        fig_ax=None,
+    ) -> BEVRenderer:
+        """Compose the BEV scene for frame `idx` (points + gt/dt + optional
+        overlays) without saving — shared by the batch exporter
+        (`render_frame`) and the interactive viewer."""
         info = self.infos[idx]
         points = self.load_points(info)
         dr = self.cfg.detection_range
-        r = BEVRenderer((dr[0], dr[1], dr[3], dr[4])).points(points)
+        r = BEVRenderer((dr[0], dr[1], dr[3], dr[4]), fig_ax=fig_ax).points(points)
 
         gt_boxes = np.zeros((0, 7), np.float32)
         if "annos" in info:
@@ -97,7 +100,19 @@ class SceneViewer:
             r.voxel_grid(frame.coors, self.cfg.voxel_size, self.cfg.detection_offset)
 
         r.title(f"frame {info.get('image_idx', idx)}")
-        return r.save(out_path)
+        return r
+
+    def render_frame(
+        self,
+        idx: int,
+        out_path: str | Path,
+        *,
+        show_anchors: bool = False,
+        show_voxels: bool = False,
+    ) -> Path:
+        return self.build_renderer(
+            idx, show_anchors=show_anchors, show_voxels=show_voxels
+        ).save(out_path)
 
     def render_image_frame(self, idx: int, out_path: str | Path) -> Path:
         """Camera panel: the frame's image with projected 3D gt/detection
@@ -143,3 +158,84 @@ class SceneViewer:
             if image:
                 paths.append(self.render_image_frame(i, out_dir / f"{stem}_cam.png"))
         return paths
+
+
+class InteractiveViewer:
+    """Keyboard-driven scene navigation — the headless-compatible counterpart
+    of the reference's Qt control panel (reference viewer/control_panel.py:
+    frame spin-box/prev/next, anchor + voxel checkboxes, screenshot button).
+
+    Keys: ←/→ (or j/k) step frames, home/end jump, a anchors, v voxels,
+    s screenshot to `out_dir`, q close. The handler logic is backend-agnostic
+    (testable under Agg); `run()` needs an interactive matplotlib backend and
+    raises a clear error when only Agg is available (e.g. no display).
+    """
+
+    def __init__(self, viewer: SceneViewer, start: int = 0, out_dir: str | Path = "shots"):
+        if len(viewer) == 0:
+            raise ValueError("no frames: SceneViewer has an empty info list")
+        import matplotlib.pyplot as plt
+
+        self.viewer = viewer
+        self.idx = int(np.clip(start, 0, len(viewer) - 1))
+        self.out_dir = Path(out_dir)
+        self.show_anchors = False
+        self.show_voxels = False
+        self.fig, self.ax = plt.subplots(figsize=(12.0, 12.0))
+        self.fig.canvas.mpl_connect("key_press_event", self._on_key)
+        self.redraw()
+
+    def redraw(self) -> None:
+        self.viewer.build_renderer(
+            self.idx,
+            show_anchors=self.show_anchors,
+            show_voxels=self.show_voxels,
+            fig_ax=(self.fig, self.ax),
+        )
+        self.fig.canvas.draw_idle()
+
+    def handle_key(self, key: str) -> None:
+        n = len(self.viewer)
+        if key in ("right", "k"):
+            self.idx = (self.idx + 1) % n
+        elif key in ("left", "j"):
+            self.idx = (self.idx - 1) % n
+        elif key == "home":
+            self.idx = 0
+        elif key == "end":
+            self.idx = n - 1
+        elif key == "a":
+            self.show_anchors = not self.show_anchors
+        elif key == "v":
+            self.show_voxels = not self.show_voxels
+        elif key == "s":
+            stem = f"{self.viewer.infos[self.idx].get('image_idx', self.idx):06d}"
+            self.out_dir.mkdir(parents=True, exist_ok=True)
+            path = self.out_dir / f"{stem}_interactive.png"
+            self.fig.savefig(path, dpi=120, facecolor=self.fig.get_facecolor())
+            print(f"saved {path}")
+            return  # no redraw needed
+        elif key == "q":
+            import matplotlib.pyplot as plt
+
+            plt.close(self.fig)
+            return
+        else:
+            return
+        self.redraw()
+
+    def _on_key(self, event) -> None:
+        if event.key:
+            self.handle_key(event.key)
+
+    def run(self) -> None:
+        import matplotlib
+        import matplotlib.pyplot as plt
+
+        if matplotlib.get_backend().lower() == "agg":
+            raise RuntimeError(
+                "interactive viewing needs a GUI matplotlib backend (Agg is "
+                "headless) — set MPLBACKEND/DISPLAY, or use the batch "
+                "exporter: cli view --frames a:b --out DIR"
+            )
+        plt.show()

@@ -89,11 +89,19 @@ class BEVRenderer:
         detection_range=(-80, -80, 80, 80),
         figsize: float = 12.0,
         background: str = "#101018",
+        fig_ax=None,
     ):
+        """`fig_ax=(fig, ax)` reuses an existing figure (cleared) instead of
+        creating one — the interactive viewer redraws into the same window."""
         self.range = detection_range
-        self.fig, self.ax = plt.subplots(
-            figsize=(figsize, figsize), facecolor=background
-        )
+        if fig_ax is not None:
+            self.fig, self.ax = fig_ax
+            self.ax.clear()
+            self.fig.set_facecolor(background)
+        else:
+            self.fig, self.ax = plt.subplots(
+                figsize=(figsize, figsize), facecolor=background
+            )
         self.ax.set_facecolor(background)
         self.ax.set_xlim(self.range[0], self.range[2])
         self.ax.set_ylim(self.range[1], self.range[3])

@@ -391,3 +391,78 @@ class TestViewerImageOverlay:
         assert (out / "000000.png").exists()
         assert (out / "000000_cam.png").exists()
         assert (out / "000000_cam.png").stat().st_size > 0
+
+
+class TestInteractiveViewer:
+    """Key-handler logic of the interactive viewer (reference
+    control_panel.py's nav/toggle/screenshot surface) — exercised under Agg:
+    everything except plt.show() is backend-agnostic."""
+
+    def _viewer(self, tmp_path, frames=3):
+        import pickle
+
+        from det3d_tpu.config import load_config
+        from det3d_tpu.viewer.app import SceneViewer
+
+        root = tmp_path / "data"
+        (root / "velodyne").mkdir(parents=True)
+        infos = []
+        for i in range(frames):
+            pts = np.random.RandomState(i).rand(200, 4).astype(np.float32) * 20 - 10
+            pts.tofile(root / "velodyne" / f"{i:06d}.bin")
+            infos.append({
+                "image_idx": i,
+                "velodyne_path": f"velodyne/{i:06d}.bin",
+                "annos": {
+                    "name": np.array(["vehicle"]),
+                    "location": np.array([[5.0, float(i), -1.0]]),
+                    "dimensions": np.array([[4.0, 2.0, 1.6]]),
+                    "rotation_y": np.array([0.1 * i]),
+                    "score": np.zeros(1),
+                },
+            })
+        with open(root / "data_info.pkl", "wb") as f:
+            pickle.dump(infos, f)
+        cfg = load_config({
+            "data_root": str(root),
+            "detection_range": [-16.0, -16.0, -2.5, 16.0, 16.0, 8.5],
+            "voxel_size": [1.0, 1.0, 11.0],
+            "max_voxels": 256, "max_num_points": 5, "max_points": 2048,
+        })
+        return SceneViewer(cfg, info_path="data_info.pkl")
+
+    def test_navigation_toggles_and_screenshot(self, tmp_path):
+        from det3d_tpu.viewer.app import InteractiveViewer
+
+        iv = InteractiveViewer(self._viewer(tmp_path), out_dir=tmp_path / "shots")
+        assert iv.idx == 0
+        iv.handle_key("right")
+        assert iv.idx == 1
+        iv.handle_key("j")  # vim-style prev
+        assert iv.idx == 0
+        iv.handle_key("left")  # wraps
+        assert iv.idx == 2
+        iv.handle_key("home")
+        assert iv.idx == 0
+        iv.handle_key("end")
+        assert iv.idx == 2
+        # the redraw actually repopulated the axes for the current frame
+        assert len(iv.ax.collections) > 0
+
+        iv.handle_key("v")
+        assert iv.show_voxels
+        iv.handle_key("v")
+        assert not iv.show_voxels
+
+        iv.handle_key("s")
+        assert (tmp_path / "shots" / "000002_interactive.png").exists()
+        iv.handle_key("q")  # closes without error
+
+    def test_run_refuses_headless_backend(self, tmp_path):
+        import pytest
+
+        from det3d_tpu.viewer.app import InteractiveViewer
+
+        iv = InteractiveViewer(self._viewer(tmp_path, frames=1), out_dir=tmp_path)
+        with pytest.raises(RuntimeError, match="GUI matplotlib backend"):
+            iv.run()
