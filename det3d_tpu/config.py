@@ -113,6 +113,10 @@ class Config:
     #                                  Gram matrices so normalize+relu fuses into the
     #                                  deconv epilogue (packed path only; train and
     #                                  parity runs can disable for exact round-2 math)
+    scatter_subtile: int = 0         # >0 (multiple of 8, typically 128): sub-tile-
+    #                                  skipping s2d canvas scatter kernel — empty
+    #                                  sub-tile row ranges skip their one-hot matmuls
+    #                                  (large-grid lever; see kernels/scatter_pallas)
 
     # ---- derived (reference: framework/voxel_generator.py:7-15) ----
     detection_range: tuple[float, ...] = ()
@@ -254,6 +258,7 @@ def load_config(path: str | Path | dict, **overrides: Any) -> Config:
         head=get("head", "shared"),
         pack_w=bool(get("pack_w", True)),
         fuse_in_stats=bool(get("fuse_in_stats", True)),
+        scatter_subtile=int(get("scatter_subtile", 0)),
     )
     cfg = _with_derived(cfg)
     # The feature map is ALWAYS the voxel grid at half resolution: the shared

@@ -967,7 +967,8 @@ class PointPillars(nn.Module):
                 # fences space-to-batch out (train/trainer.py) and keeps the
                 # H-major order the unfenced convs prefer.
                 canvas = scatter_to_bev_s2d_pallas(
-                    pillar_features, coors, grid_xy, False, not train
+                    pillar_features, coors, grid_xy, False, not train,
+                    getattr(self.cfg, "scatter_subtile", 0),
                 )
             else:
                 canvas = scatter_to_bev_s2d(pillar_features, coors, grid_xy)

@@ -63,6 +63,38 @@ def main() -> None:
     np.testing.assert_array_equal(got_wm, want)
     print("scatter_to_bev_s2d_pallas (+w_major): OK")
 
+    # --- sub-tile-skipping s2d kernel: dynamic sub-tile stores (si·sub
+    # offsets) + per-sub-tile chunk loops must lower on Mosaic at BOTH
+    # production geometries (20cm here, 10cm below) ------------------------
+    for w_major in (False, True):
+        out = scatter_to_bev_s2d_pallas(
+            feats, jnp.asarray(coors), (nx, ny), False, w_major, 128
+        )
+        out.block_until_ready()
+        got_st = np.asarray(out[0], np.float32).reshape((nx // 2) * (ny // 2), 4, c)
+        np.testing.assert_array_equal(got_st, want)
+    print("scatter_to_bev_s2d_pallas subtile=128 (+w_major): OK")
+
+    v10, n10 = 20000, 1600
+    feats10 = jnp.asarray(r.randn(1, v10, c), jnp.bfloat16)
+    coors10 = np.full((1, v10, 3), -1, np.int32)
+    cells10 = r.choice((n10 * n10) // 4, 18000, replace=False)  # clustered
+    coors10[0, :18000, 0] = cells10 // n10
+    coors10[0, :18000, 1] = cells10 % n10
+    coors10[0, :18000, 2] = 0
+    out = scatter_to_bev_s2d_pallas(
+        feats10, jnp.asarray(coors10), (n10, n10), False, True, 128
+    )
+    out.block_until_ready()
+    got10 = np.asarray(out[0], np.float32).reshape((n10 // 2) * (n10 // 2), 4, c)
+    want10 = np.zeros(((n10 // 2) * (n10 // 2), 4, c), np.float32)
+    cx10, cy10 = cells10 // n10, cells10 % n10
+    want10[(cx10 // 2) * (n10 // 2) + cy10 // 2, (cx10 % 2) * 2 + cy10 % 2] = (
+        np.asarray(feats10[0, :18000], np.float32)
+    )
+    np.testing.assert_array_equal(got10, want10)
+    print("scatter_to_bev_s2d_pallas subtile=128 @10cm grid: OK")
+
     # --- batch-2 (training shape): Mosaic's last-two-block-dims rule differs
     # for B>1 arrays — a b=1-only check once passed while the train step
     # failed to lower -----------------------------------------------------
