@@ -27,6 +27,9 @@ def main() -> None:
     ap.add_argument("--pack-w", type=int, default=None,
                     help="override cfg.pack_w (packing is weight-side only, "
                     "so the trainer may pick whichever direction is faster)")
+    ap.add_argument("--scatter-subtile", type=int, default=None,
+                    help="override cfg.scatter_subtile (0 = dense-tile s2d "
+                    "kernel, 128 = sub-tile-skipping variant)")
     args = ap.parse_args()
 
     import jax
@@ -41,7 +44,11 @@ def main() -> None:
     from det3d_tpu.data.synthetic import sample_scene
     from det3d_tpu.train.trainer import Trainer, host_batch
 
-    overrides = {} if args.pack_w is None else {"pack_w": bool(args.pack_w)}
+    overrides = {}
+    if args.pack_w is not None:
+        overrides["pack_w"] = bool(args.pack_w)
+    if args.scatter_subtile is not None:
+        overrides["scatter_subtile"] = args.scatter_subtile
     cfg = load_config(args.config, max_points=120_000, batch_size=args.batch,
                       **overrides)
     trainer = Trainer(cfg)
