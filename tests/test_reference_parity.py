@@ -349,3 +349,339 @@ class TestLossParity:
             assert np.isclose(
                 float(got[key]), float(ref_out[key]), rtol=1e-5, atol=1e-6
             ), f"{key}: {float(got[key])} vs {float(ref_out[key])}"
+
+
+class TestPipelineParity:
+    """End-to-end POST-PROCESSING parity vs the reference's actual
+    `Inference.infer_gpu` (framework/inference.py:26-138), run on torch-CPU
+    at the full production anchor scale (1.44 M anchors, the hard-coded
+    400x400 feature maps of framework/anchor_assigner.py:224-245).
+
+    Identical fabricated predictions + anchor mask go through BOTH
+    pipelines: the reference's mask-gather → sigmoid → gate → topk →
+    numpy decode → NMS → dir flip → range filter → annos, and this repo's
+    masked-dense logit-space postprocessor (postprocess.make_postprocessor
+    + to_annos). The reference's CUDA NMS kernel cannot launch here, so
+    `nms_gpu` is substituted with the sequential numpy oracle implementing
+    the same bitmask-greedy semantics incl. the +1 pixel-convention IoU
+    (tests/np_ref.nms_greedy_ref ↔ framework/nms.py:85-150); everything
+    else on the reference side is the reference's own code. Anchor
+    construction equality (ours vs framework.anchor_assigner) is asserted
+    in passing."""
+
+    @pytest.fixture()
+    def ref_pipeline(self, monkeypatch):
+        # the reference uses numpy aliases removed in numpy>=1.24
+        for name, val in (("bool", bool), ("float", float), ("int", int)):
+            if not hasattr(np, name):
+                monkeypatch.setattr(np, name, val, raising=False)
+        # numpy<1.16 meshgrid returned a list; the reference concatenates
+        # `locations + [size, rotation]` (anchor_assigner.py:318)
+        _orig_meshgrid = np.meshgrid
+        monkeypatch.setattr(
+            np, "meshgrid", lambda *a, **k: list(_orig_meshgrid(*a, **k))
+        )
+        # numba is not installed here: stub it so the reference modules
+        # import, with @jit/@njit as identity decorators — the jitted
+        # functions run as the same plain-Python/numpy code they decorate,
+        # so reference SEMANTICS are preserved (only speed is lost). The
+        # cuda kernels never run (nms_gpu is oracle-substituted below).
+        import types
+
+        def _identity_jit(*a, **k):
+            if a and callable(a[0]):
+                return a[0]
+            return lambda f: f
+
+        fake_cuda = types.ModuleType("numba.cuda")
+        fake_cuda.jit = _identity_jit
+        fake_cuda.to_device = lambda x, *a, **k: x
+        fake_cuda.select_device = lambda *a, **k: None
+        fake_cuda.stream = lambda: None
+        fake_numba = types.ModuleType("numba")
+        fake_numba.jit = _identity_jit
+        fake_numba.njit = _identity_jit
+        fake_numba.prange = range
+        fake_numba.cuda = fake_cuda
+        monkeypatch.setitem(sys.modules, "numba", fake_numba)
+        monkeypatch.setitem(sys.modules, "numba.cuda", fake_cuda)
+
+        sys.path.insert(0, REF_ROOT)
+        try:
+            import framework.anchor_assigner as ref_aa
+            import framework.inference as ref_inf
+        except Exception as e:  # pragma: no cover
+            pytest.skip(f"reference not importable: {e}")
+        finally:
+            sys.path.remove(REF_ROOT)
+        from tests.np_ref import nms_greedy_ref
+
+        monkeypatch.setattr(
+            ref_inf,
+            "nms_gpu",
+            lambda dets, thr: nms_greedy_ref(
+                dets[:, :4], dets[:, 4], thr, post_max_size=len(dets)
+            ),
+        )
+        # infer_gpu calls torch.cuda.synchronize() unconditionally
+        # (inference.py:37 etc.) — no-op on CPU torch
+        monkeypatch.setattr(torch.cuda, "synchronize", lambda *a, **k: None)
+        return ref_aa, ref_inf
+
+    def test_postprocess_pipeline_matches_reference(self, ref_pipeline):
+        ref_aa, ref_inf = ref_pipeline
+        import torch
+
+        from det3d_tpu.anchors import build_anchors
+        from det3d_tpu.postprocess import make_postprocessor, to_annos
+
+        cfg = load_config("configs/ntusl_20cm.json", max_points=1000)
+        aset = build_anchors(cfg)
+
+        ref_config = {
+            "detection_offset": np.asarray(cfg.detection_offset, np.float32),
+            "detection_range_diff": np.asarray(
+                cfg.detection_range_diff, np.float32
+            ),
+            "grid_size": np.asarray(cfg.grid_size, np.int64),
+            "voxel_size": np.asarray(cfg.voxel_size, np.float32),
+            "box_code_size": cfg.box_code_size,
+            "device": torch.device("cpu"),
+            "center_limit": np.asarray(cfg.center_limit, np.float32),
+        }
+        assigner = ref_aa.AnchorAssigner(ref_config)
+
+        # anchor construction parity at production scale, in passing
+        np.testing.assert_allclose(aset.anchors, assigner.anchors, atol=1e-5)
+
+        a = aset.num_anchors
+        nch = aset.num_channels
+        fx, fy = int(cfg.feature_map_size[0]), int(cfg.feature_map_size[1])
+        rng = np.random.RandomState(42)
+        cls_flat = (rng.randn(a, 1) * 1.5 - 5.0).astype(np.float32)
+        hot = rng.choice(a, 4000, replace=False)
+        cls_flat[hot, 0] = rng.uniform(-3.2, 3.0, 4000).astype(np.float32)
+        box_flat = (rng.randn(a, 7) * 0.08).astype(np.float32)
+        dir_flat = rng.randn(a, 2).astype(np.float32)
+        mask_flat = rng.rand(a) < 0.6
+
+        # ---- reference side --------------------------------------------
+        inference = ref_inf.Inference(ref_config, assigner)
+        ref_annos = inference.infer_gpu(
+            {"anchors_mask": torch.from_numpy(mask_flat[None])},
+            {
+                "cls_preds": torch.from_numpy(cls_flat[None]),
+                "box_preds": torch.from_numpy(box_flat[None]),
+                "dir_preds": torch.from_numpy(dir_flat[None]),
+            },
+        )[0]
+
+        # ---- this repo ---------------------------------------------------
+        # flat anchor-major order == row-major (nch, fx, fy) flatten
+        preds = {
+            "cls_preds": jnp.asarray(cls_flat[:, 0].reshape(1, nch, fx, fy)),
+            "box_preds": jnp.asarray(box_flat.T.reshape(7, nch, fx, fy)),
+            "dir_preds": jnp.asarray(dir_flat.T.reshape(2, nch, fx, fy)),
+        }
+        pp = make_postprocessor(cfg, aset)
+        det = pp(preds, jnp.asarray(mask_flat.reshape(nch, fx, fy)))
+        got = to_annos(cfg, jax.tree.map(np.asarray, det))
+
+        assert list(got["name"]) == list(ref_annos["name"])
+        np.testing.assert_allclose(
+            got["location"], ref_annos["location"], atol=2e-4
+        )
+        np.testing.assert_allclose(
+            got["dimensions"], ref_annos["dimensions"], atol=2e-4
+        )
+        np.testing.assert_allclose(
+            got["rotation_y"], ref_annos["rotation_y"], atol=2e-4
+        )
+        np.testing.assert_allclose(got["score"], ref_annos["score"], atol=1e-5)
+        # sanity: the scenario actually exercised the pipeline
+        assert len(got["name"]) > 50
+
+
+class TestDataPathParity:
+    """Training data-path parity vs the reference's own CPU code, run as
+    plain Python via the numba-stub fixture (decorator-stripped functions
+    are the same code numba would compile, so semantics are identical).
+
+    Covers framework/voxel_generator.points_to_voxels (the sequential
+    first-come-first-serve binning kernel) and
+    framework/anchor_assigner.AnchorAssigner.assign (IoU matching with
+    force-match ties + box_encode + direction targets) against this repo's
+    sort-based voxelizer and vectorized target assigner."""
+
+    # reuse the pipeline fixture's import/stub machinery
+    ref_pipeline = TestPipelineParity.ref_pipeline
+
+    def test_voxelizer_matches_reference_kernel(self, ref_pipeline):
+        sys.path.insert(0, REF_ROOT)
+        try:
+            import framework.voxel_generator as ref_vg
+        finally:
+            sys.path.remove(REF_ROOT)
+
+        from det3d_tpu.ops.voxelize import VoxelizerSpec, voxelize
+
+        cfg = load_config(
+            {
+                "detection_range": [-16.0, -16.0, -2.5, 16.0, 16.0, 8.5],
+                "voxel_size": [0.4, 0.4, 11.0],
+                "max_voxels": 4096,  # must NOT bind (~2.4k distinct cells)
+                "max_num_points": 6,
+                "max_points": 4096,
+            }
+        )
+        rng = np.random.RandomState(0)
+        n = 3000
+        pts = np.zeros((cfg.max_points, 4), np.float32)
+        pts[:n, :3] = rng.uniform(-18, 18, (n, 3)).astype(np.float32)
+        pts[:n, 2] = rng.uniform(-3, 9, n).astype(np.float32)
+        pts[:n, 3] = rng.rand(n).astype(np.float32)
+
+        ref_config = {
+            "detection_range": list(cfg.detection_range_raw),
+            "voxel_size": list(cfg.voxel_size),
+            "max_voxels": cfg.max_voxels,
+            "max_num_points": cfg.max_num_points,
+        }
+        gen = ref_vg.VoxelGenerator_trt(ref_config)
+        # identical range snap (config.py:_snap_range ↔ voxel_generator.py:7-15)
+        np.testing.assert_allclose(gen.offset, cfg.detection_offset, atol=1e-6)
+        rv, rc, rn, rnum = gen.generate(pts[:n])
+
+        out = voxelize(
+            jnp.asarray(pts), jnp.asarray(np.int32(n)),
+            VoxelizerSpec.from_config(cfg), fcfs=True,
+        )
+        vn = int(out.voxel_num)
+        assert vn == rnum
+        assert vn < cfg.max_voxels  # premise: the cap did not bind
+        np.testing.assert_array_equal(np.asarray(out.coors)[:vn], rc)
+        np.testing.assert_array_equal(
+            np.asarray(out.num_points_per_voxel)[:vn], rn
+        )
+        np.testing.assert_array_equal(np.asarray(out.voxels)[:vn], rv)
+        assert (np.asarray(out.coors)[vn:] == -1).all()
+
+    def test_voxelizer_cap_binding_pillar_set(self, ref_pipeline):
+        """When max_voxels binds, the KEPT PILLAR SET matches the reference
+        exactly (fcfs); the documented divergence is only that the reference
+        stops consuming points entirely at the first over-cap new cell
+        (voxel_generator.py:96-97) while we keep filling open pillars."""
+        sys.path.insert(0, REF_ROOT)
+        try:
+            import framework.voxel_generator as ref_vg
+        finally:
+            sys.path.remove(REF_ROOT)
+
+        from det3d_tpu.ops.voxelize import VoxelizerSpec, voxelize
+
+        cfg = load_config(
+            {
+                "detection_range": [-16.0, -16.0, -2.5, 16.0, 16.0, 8.5],
+                "voxel_size": [0.4, 0.4, 11.0],
+                "max_voxels": 40,  # binds hard
+                "max_num_points": 6,
+                "max_points": 2048,
+            }
+        )
+        rng = np.random.RandomState(1)
+        n = 1500
+        pts = np.zeros((cfg.max_points, 4), np.float32)
+        pts[:n, :3] = rng.uniform(-15, 15, (n, 3)).astype(np.float32)
+        pts[:n, 2] = 0.0
+
+        ref_config = {
+            "detection_range": list(cfg.detection_range_raw),
+            "voxel_size": list(cfg.voxel_size),
+            "max_voxels": cfg.max_voxels,
+            "max_num_points": cfg.max_num_points,
+        }
+        _, rc, rn, rnum = ref_vg.VoxelGenerator_trt(ref_config).generate(pts[:n])
+
+        out = voxelize(
+            jnp.asarray(pts), jnp.asarray(np.int32(n)),
+            VoxelizerSpec.from_config(cfg), fcfs=True,
+        )
+        assert int(out.voxel_num) == rnum == cfg.max_voxels
+        np.testing.assert_array_equal(np.asarray(out.coors)[:rnum], rc)
+        # open pillars keep filling here, so counts can only be >=
+        assert (np.asarray(out.num_points_per_voxel)[:rnum] >= rn).all()
+
+    def test_assign_matches_reference(self, ref_pipeline):
+        ref_aa, _ = ref_pipeline
+        import torch  # noqa: F401  (parity file convention)
+
+        from det3d_tpu.anchors import build_anchors
+        from det3d_tpu.targets import make_target_assigner
+
+        cfg = load_config("configs/ntusl_20cm.json", max_points=1000)
+        aset = build_anchors(cfg)
+        ref_config = {
+            "detection_offset": np.asarray(cfg.detection_offset, np.float32),
+            "detection_range_diff": np.asarray(
+                cfg.detection_range_diff, np.float32
+            ),
+            "grid_size": np.asarray(cfg.grid_size, np.int64),
+            "voxel_size": np.asarray(cfg.voxel_size, np.float32),
+            "box_code_size": cfg.box_code_size,
+            "device": None,
+            "center_limit": np.asarray(cfg.center_limit, np.float32),
+        }
+        assigner = ref_aa.AnchorAssigner(ref_config)
+
+        rng = np.random.RandomState(3)
+        g = 18
+        gt = np.zeros((g, 7), np.float32)
+        gt[:, 0] = rng.uniform(-60, 60, g)
+        gt[:, 1] = rng.uniform(-60, 60, g)
+        gt[:, 2] = rng.uniform(-1.5, 0.5, g)
+        sizes = {
+            1: [4.6, 2.1, 1.8], 2: [0.97, 0.96, 1.81], 3: [2.0, 0.98, 1.72]
+        }
+        gt_classes = rng.randint(1, 4, g).astype(np.int32)
+        for i in range(g):
+            gt[i, 3:6] = np.asarray(sizes[int(gt_classes[i])]) * rng.uniform(
+                0.9, 1.1, 3
+            )
+        gt[:, 6] = rng.uniform(-np.pi, np.pi, g).astype(np.float32)
+
+        # sparse per-anchor mask (the stubbed pure-python iou_jit on the
+        # reference side scales with the unmasked anchor count)
+        mask_flat = rng.rand(aset.num_anchors) < 0.02
+
+        ref_labels, ref_tgts, ref_w, ref_dir = assigner.assign(
+            gt_classes, gt, mask_flat
+        )
+
+        assign = make_target_assigner(cfg, aset, use_pallas=False)
+        nch = aset.num_channels
+        fx, fy = int(cfg.feature_map_size[0]), int(cfg.feature_map_size[1])
+        gmax = cfg.max_gt_boxes
+        gt_pad = np.ones((gmax, 7), np.float32)
+        gt_pad[:g] = gt
+        cls_pad = np.zeros((gmax,), np.int32)
+        cls_pad[:g] = gt_classes
+        valid = np.zeros((gmax,), bool)
+        valid[:g] = True
+        tgt = assign(
+            jnp.asarray(gt_pad), jnp.asarray(cls_pad), jnp.asarray(valid),
+            jnp.asarray(mask_flat.reshape(nch, fx, fy)),
+        )
+
+        np.testing.assert_array_equal(
+            np.asarray(tgt.labels).reshape(-1), ref_labels
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tgt.dir_targets).reshape(-1), ref_dir
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tgt.bbox_outside_weights).reshape(-1), ref_w
+        )
+        # channel-major (7, nch, fx, fy) → flat anchor-major (A, 7)
+        got_tgts = np.asarray(tgt.bbox_targets).reshape(7, -1).T
+        np.testing.assert_allclose(got_tgts, ref_tgts, atol=2e-5)
+        assert (ref_labels > 0).sum() > 0  # scenario has positives
