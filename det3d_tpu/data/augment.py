@@ -112,14 +112,25 @@ def box_collision_test_np(corners_a, corners_b):
 
 
 def points_in_rbbox_np(points, boxes):
-    """BEV rotated-rect + z-extent membership, (P, >=3) x (K, 7) → (P, K)."""
+    """BEV rotated-rect + z-extent membership, (P, >=3) x (K, 7) → (P, K).
+
+    Matches the reference's LIVE `points_in_rbbox`
+    (framework/box_np_ops.py:460-468, origin [0.5, 0.5, 0.5]): the stored z
+    is interpreted as the box CENTER, i.e. the z window is
+    (z − h/2, z + h/2) with on-plane points excluded — even though
+    create_info stores the camera-label z (the box bottom) unshifted. That
+    h/2-down-shifted membership window is a reference quirk, but num_points
+    / difficulty / augmentation point selection are all calibrated against
+    it, so it is reproduced here (verified against the reference's own code
+    in tests/test_reference_parity.py::TestAugmentationParity)."""
     corners = box2d_corners_np(boxes[:, [0, 1, 3, 4, 6]].astype(np.float64))
     in_bev = np.stack(
         [_points_in_quad(points[:, :2], corners[k]) for k in range(boxes.shape[0])], -1
     ) if boxes.shape[0] else np.zeros((points.shape[0], 0), bool)
-    z0 = boxes[:, 2]
-    z1 = z0 + boxes[:, 5]
-    in_z = (points[:, None, 2] >= z0[None]) & (points[:, None, 2] <= z1[None])
+    half = boxes[:, 5] * 0.5
+    z0 = boxes[:, 2] - half
+    z1 = boxes[:, 2] + half
+    in_z = (points[:, None, 2] > z0[None]) & (points[:, None, 2] < z1[None])
     return in_bev & in_z
 
 

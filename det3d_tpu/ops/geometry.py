@@ -273,17 +273,20 @@ def points_in_convex_polygon(points, polygon):
     return jnp.all(cross < 0, axis=-1)
 
 
-def points_in_rbbox(points, boxes, z_axis: int = 2, origin=(0.5, 0.5, 0.0)):
+def points_in_rbbox(points, boxes, z_axis: int = 2, origin=(0.5, 0.5, 0.5)):
     """points (N,>=3) vs 3D boxes (K,7) → (N,K) bool membership.
 
-    Counterpart of reference framework/box_np_ops.py:1127-1137: BEV rotated
-    rectangle test + z-extent test."""
+    Counterpart of the reference's LIVE `points_in_rbbox`
+    (framework/box_np_ops.py:460-468): z is interpreted with origin 0.5
+    (stored z = box center) and on-plane points are excluded — the
+    reference quirk `data/augment.points_in_rbbox_np` documents. Pass
+    `origin=(0.5, 0.5, 0.0)` for true bottom-anchored membership."""
     # BEV test via convex polygon
     corners = center_to_corner_box2d(boxes[:, :2], boxes[:, 3:5], boxes[:, 6])
     in_bev = points_in_convex_polygon(points[:, :2], corners)
     z0 = boxes[:, 2] - boxes[:, 5] * origin[2]
     z1 = z0 + boxes[:, 5]
-    in_z = (points[:, None, z_axis] >= z0[None, :]) & (points[:, None, z_axis] <= z1[None, :])
+    in_z = (points[:, None, z_axis] > z0[None, :]) & (points[:, None, z_axis] < z1[None, :])
     return in_bev & in_z
 
 

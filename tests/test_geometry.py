@@ -115,23 +115,29 @@ class TestIoU:
 
 class TestPointsInBox:
     def test_points_in_rbbox(self):
+        # reference-live convention (box_np_ops.py:460-468): z origin 0.5,
+        # so the window is (z-h/2, z+h/2), on-plane excluded
         boxes = np.array([[0, 0, 0, 4, 2, 2, 0]], np.float32)
         pts = np.array(
             [
-                [0, 0, 1, 0],      # inside (z within [0, 2])
-                [1.9, 0.9, 0.5, 0],
-                [2.1, 0, 1, 0],    # outside x
-                [0, 0, 2.5, 0],    # above
-                [0, 0, -0.1, 0],   # below
+                [0, 0, 0.5, 0],    # inside (z within (-1, 1))
+                [1.9, 0.9, -0.5, 0],
+                [2.1, 0, 0.5, 0],  # outside x
+                [0, 0, 1.5, 0],    # above
+                [0, 0, -1.1, 0],   # below
+                [0, 0, 1.0, 0],    # exactly on the top plane -> excluded
             ],
             np.float32,
         )
         out = np.asarray(G.points_in_rbbox(pts, boxes))[:, 0]
-        np.testing.assert_array_equal(out, [True, True, False, False, False])
+        np.testing.assert_array_equal(out, [True, True, False, False, False, False])
+        # bottom-anchored membership stays available via origin
+        out0 = np.asarray(G.points_in_rbbox(pts, boxes, origin=(0.5, 0.5, 0.0)))[:, 0]
+        np.testing.assert_array_equal(out0, [True, False, False, True, False, True])
 
     def test_rotated(self):
         boxes = np.array([[0, 0, 0, 4, 2, 2, np.pi / 2]], np.float32)
-        pts = np.array([[0.9, 1.9, 1, 0], [1.9, 0.9, 1, 0]], np.float32)
+        pts = np.array([[0.9, 1.9, 0.5, 0], [1.9, 0.9, 0.5, 0]], np.float32)
         out = np.asarray(G.points_in_rbbox(pts, boxes))[:, 0]
         np.testing.assert_array_equal(out, [True, False])
 

@@ -414,6 +414,25 @@ class TestPipelineParity:
             pytest.skip(f"reference not importable: {e}")
         finally:
             sys.path.remove(REF_ROOT)
+
+        # AnchorAssigner.__init__ calls get_anchor_coor over all 1.44 M
+        # anchors only to fill the (unused here) CUDA upload buffer; as
+        # stubbed pure Python that is ~40 s per test. Same math, vectorized:
+        def _fast_anchor_coor(anchors_bv, stride, offset, grid_size):
+            mn = np.floor((anchors_bv[:, :2] - offset[:2]) / stride[:2])
+            mx = np.floor((anchors_bv[:, 2:4] - offset[:2]) / stride[:2])
+            ret = np.concatenate(
+                [
+                    np.maximum(mn, 0),
+                    np.minimum(mx, [grid_size[0] - 1, grid_size[1] - 1]),
+                ],
+                axis=1,
+            )
+            return ret.astype(np.int32)
+
+        monkeypatch.setattr(
+            ref_aa.box_np_ops, "get_anchor_coor", _fast_anchor_coor
+        )
         from tests.np_ref import nms_greedy_ref
 
         monkeypatch.setattr(
@@ -791,3 +810,114 @@ class TestEvalProtocolParity:
         assert got_str == ref_str
         # the scenario is non-trivial: some finite nonzero APs
         assert np.asarray(ref_results).max() > 0
+
+
+class TestAugmentationParity:
+    """Per-object augmentation parity vs the reference's own
+    framework/augmentation.py:noise_per_object (numba-stubbed).
+
+    The reference draws its noise arrays BEFORE the sequential collision
+    search (augmentation.py:192-194), in the same shapes and order this
+    repo's `noise_per_object` does — so seeding both streams identically
+    makes the whole pipeline (circle-move candidates, collision rejection
+    against evolving corners, first-containing-box point transform)
+    deterministic and directly comparable."""
+
+    ref_pipeline = TestPipelineParity.ref_pipeline
+
+    def test_noise_per_object_matches_reference(self, ref_pipeline):
+        sys.path.insert(0, REF_ROOT)
+        try:
+            import framework.augmentation as ref_aug
+        finally:
+            sys.path.remove(REF_ROOT)
+        from det3d_tpu.data.augment import noise_per_object
+
+        rng = np.random.RandomState(5)
+        n = 12
+        gt = np.zeros((n, 7), np.float64)
+        # half clustered (collision rejection exercised), half spread
+        gt[: n // 2, 0] = 8.0 + np.arange(n // 2) * 5.0
+        gt[: n // 2, 1] = 5.0
+        gt[n // 2 :, 0] = rng.uniform(-60, 60, n - n // 2)
+        gt[n // 2 :, 1] = rng.uniform(-60, -20, n - n // 2)
+        gt[:, 2] = rng.uniform(-1.5, 0.0, n)
+        gt[:, 3:6] = np.asarray([4.6, 2.1, 1.8]) * rng.uniform(0.9, 1.1, (n, 3))
+        gt[:, 6] = rng.uniform(-np.pi, np.pi, n)
+
+        pts = np.zeros((400, 4), np.float64)
+        # points inside boxes + background clutter
+        for i in range(n):
+            c, s = np.cos(gt[i, 6]), np.sin(gt[i, 6])
+            local = rng.uniform(-0.4, 0.4, (20, 2)) * gt[i, 3:5]
+            pts[i * 20 : (i + 1) * 20, 0] = gt[i, 0] + local[:, 0] * c - local[:, 1] * s
+            pts[i * 20 : (i + 1) * 20, 1] = gt[i, 1] + local[:, 0] * s + local[:, 1] * c
+            pts[i * 20 : (i + 1) * 20, 2] = gt[i, 2]  # center plane of the
+            # reference-live z window (z±h/2) — safely inside for both
+        pts[n * 20 :, :3] = rng.uniform(-70, 70, (400 - n * 20, 3))
+        pts[:, 3] = rng.rand(400)
+
+        ref_boxes, ref_pts = gt.copy(), pts.copy()
+        np.random.seed(321)
+        ref_aug.noise_per_object(ref_boxes, ref_pts)
+
+        got_boxes, got_pts = gt.copy(), pts.copy()
+        noise_per_object(got_boxes, got_pts, rng=np.random.RandomState(321))
+
+        np.testing.assert_allclose(got_boxes, ref_boxes, atol=1e-9)
+        np.testing.assert_allclose(got_pts, ref_pts, atol=1e-9)
+        assert not np.allclose(ref_boxes, gt)  # noise actually applied
+
+
+class TestAnchorMaskParity:
+    """Anchor occupancy-mask parity vs the reference's own CPU path
+    (`AnchorAssigner.create_mask(gpu=False)`: sparse_sum_for_anchors_mask →
+    2D cumsum SAT → fused_get_anchors_area, box_np_ops.py:159-285), at the
+    full production scale (1.44 M anchors)."""
+
+    ref_pipeline = TestPipelineParity.ref_pipeline
+
+    def test_create_mask_matches_reference(self, ref_pipeline):
+        ref_aa, _ = ref_pipeline
+
+        from det3d_tpu.anchors import build_anchors
+        from det3d_tpu.ops.anchor_mask import compute_anchors_mask
+
+        cfg = load_config("configs/ntusl_20cm.json", max_points=1000)
+        aset = build_anchors(cfg)
+        ref_config = {
+            "detection_offset": np.asarray(cfg.detection_offset, np.float32),
+            "detection_range_diff": np.asarray(
+                cfg.detection_range_diff, np.float32
+            ),
+            "grid_size": np.asarray(cfg.grid_size, np.int64),
+            "voxel_size": np.asarray(cfg.voxel_size, np.float32),
+            "box_code_size": cfg.box_code_size,
+            "device": None,
+            "center_limit": np.asarray(cfg.center_limit, np.float32),
+        }
+        assigner = ref_aa.AnchorAssigner(ref_config)
+
+        rng = np.random.RandomState(11)
+        nx, ny = cfg.grid_size[0], cfg.grid_size[1]
+        cells = rng.choice(nx * ny, 2000, replace=False)
+        coors = np.stack(
+            [cells // ny, cells % ny, np.zeros_like(cells)], axis=1
+        ).astype(np.int32)
+
+        ref_mask = assigner.create_mask(
+            coors,
+            np.asarray(cfg.grid_size),
+            np.asarray(cfg.voxel_size, np.float32),
+            np.asarray(cfg.detection_offset, np.float32),
+            gpu=False,
+        )
+
+        got = np.asarray(
+            compute_anchors_mask(
+                jnp.asarray(coors), jnp.asarray(aset.corner_cells), (nx, ny)
+            )
+        )
+        assert got.shape[0] == ref_mask.shape[0] == aset.num_anchors
+        np.testing.assert_array_equal(got, np.asarray(ref_mask, bool))
+        assert 0 < got.sum() < got.size  # non-trivial occupancy
