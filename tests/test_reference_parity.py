@@ -921,3 +921,55 @@ class TestAnchorMaskParity:
         assert got.shape[0] == ref_mask.shape[0] == aset.num_anchors
         np.testing.assert_array_equal(got, np.asarray(ref_mask, bool))
         assert 0 < got.sum() < got.size  # non-trivial occupancy
+
+
+class TestAugmentChainParity:
+    """Seeded parity of the FULL host augmentation chain
+    (`data/augment.augment_sample`) vs the reference's dataset-order chain
+    (framework/dataset.py:122-133: noise_per_object → random_flip →
+    global_rotation_v2 → global_scaling_v2 → global_translate). Every
+    reference function draws from the global np.random stream in the same
+    order this repo's functions draw from their RandomState, so one seed
+    makes the whole chain deterministic on both sides."""
+
+    ref_pipeline = TestPipelineParity.ref_pipeline
+
+    def test_chain_matches_reference(self, ref_pipeline):
+        sys.path.insert(0, REF_ROOT)
+        try:
+            import framework.augmentation as ref_aug
+        finally:
+            sys.path.remove(REF_ROOT)
+        from det3d_tpu.data.augment import augment_sample
+
+        rng = np.random.RandomState(8)
+        n = 10
+        gt = np.zeros((n, 7), np.float64)
+        gt[:, 0] = rng.uniform(-50, 50, n)
+        gt[:, 1] = rng.uniform(-50, 50, n)
+        gt[:, 2] = rng.uniform(-1.5, 0.0, n)
+        gt[:, 3:6] = np.asarray([4.6, 2.1, 1.8]) * rng.uniform(0.9, 1.1, (n, 3))
+        gt[:, 6] = rng.uniform(-np.pi, np.pi, n)
+        pts = np.zeros((300, 4), np.float64)
+        pts[: n * 10, :3] = gt[np.repeat(np.arange(n), 10), :3] + rng.randn(n * 10, 3) * 0.3
+        pts[n * 10 :, :3] = rng.uniform(-60, 60, (300 - n * 10, 3))
+        pts[:, 3] = rng.rand(300)
+        augm_mask = rng.rand(n) < 0.7  # reference's augm_class_mask
+
+        rb, rp = gt.copy(), pts.copy()
+        np.random.seed(555)
+        ref_aug.noise_per_object(rb, rp, augm_mask.copy())
+        rb, rp = ref_aug.random_flip(rb, rp)
+        rb, rp = ref_aug.global_rotation_v2(rb, rp)
+        rb, rp = ref_aug.global_scaling_v2(rb, rp, min_scale=0.95, max_scale=1.05)
+        rb, rp = ref_aug.global_translate(rb, rp, noise_translate_std=[0.25, 0.25, 0.25])
+
+        gb, gp = gt.copy(), pts.copy()
+        gb, gp = augment_sample(
+            gp, gb, gt_valid_mask=augm_mask.copy(),
+            rng=np.random.RandomState(555),
+        )
+
+        np.testing.assert_allclose(gb, rb, atol=1e-9)
+        np.testing.assert_allclose(gp, rp, atol=1e-9)
+        assert not np.allclose(rb, gt)
