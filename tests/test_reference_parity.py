@@ -973,3 +973,67 @@ class TestAugmentChainParity:
         np.testing.assert_allclose(gb, rb, atol=1e-9)
         np.testing.assert_allclose(gp, rp, atol=1e-9)
         assert not np.allclose(rb, gt)
+
+
+class TestCreateInfoParity:
+    """Label-parsing parity vs the reference's own
+    `create_info.get_label_anno` (create_info.py:115-157) on a fabricated
+    KITTI-format label file + calib: hwl→lwh reorder, camera→lidar location
+    conversion, and the rotation_y = limit_period(1.5π − ry) convention."""
+
+    ref_pipeline = TestPipelineParity.ref_pipeline
+
+    def test_get_label_anno_matches_reference(self, ref_pipeline, monkeypatch, tmp_path):
+        import types
+
+        fake_io = types.ModuleType("skimage.io")
+        fake_io.imread = lambda *a, **k: np.zeros((370, 1224, 3), np.uint8)
+        fake_sk = types.ModuleType("skimage")
+        fake_sk.io = fake_io
+        monkeypatch.setitem(sys.modules, "skimage", fake_sk)
+        monkeypatch.setitem(sys.modules, "skimage.io", fake_io)
+        sys.path.insert(0, REF_ROOT)
+        try:
+            import create_info as ref_ci
+        finally:
+            sys.path.remove(REF_ROOT)
+
+        from det3d_tpu.data.create_info import get_label_anno
+
+        rng = np.random.RandomState(2)
+        lines = []
+        names = ["Car", "Pedestrian", "Cyclist", "Truck", "DontCare"]
+        for i in range(8):
+            nm = names[i % len(names)]
+            vals = [
+                rng.uniform(-np.pi, np.pi),     # alpha
+                *rng.uniform(0, 1000, 4),       # bbox
+                *rng.uniform(0.5, 4.0, 3),      # dims hwl
+                *rng.uniform(-20, 20, 3),       # location (camera)
+                rng.uniform(-np.pi, np.pi),     # rotation_y
+            ]
+            lines.append(
+                f"{nm} {rng.uniform(0, 0.5):.6f} {rng.randint(0, 3)} "
+                + " ".join(f"{v:.6f}" for v in vals)
+            )
+        label = tmp_path / "000001.txt"
+        label.write_text("\n".join(lines) + "\n")
+
+        # plausible calib: rectification ~identity + a velo→cam transform
+        r_rect = np.eye(4)
+        r_rect[:3, :3] += rng.randn(3, 3) * 0.01
+        velo2cam = np.eye(4)
+        velo2cam[:3, :3] = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], float)
+        velo2cam[:3, 3] = rng.randn(3) * 0.1
+
+        ref_anno = ref_ci.get_label_anno(str(label), r_rect, velo2cam)
+        got_anno = get_label_anno(label, r_rect, velo2cam)
+
+        assert list(got_anno["name"]) == list(ref_anno["name"])
+        for k in ("truncated", "occluded", "alpha", "bbox", "dimensions",
+                  "location", "rotation_y", "score", "index", "group_ids"):
+            np.testing.assert_allclose(
+                np.asarray(got_anno[k], np.float64),
+                np.asarray(ref_anno[k], np.float64),
+                atol=1e-12, err_msg=k,
+            )
