@@ -1037,3 +1037,39 @@ class TestCreateInfoParity:
                 np.asarray(ref_anno[k], np.float64),
                 atol=1e-12, err_msg=k,
             )
+
+
+class TestMetricParity:
+    """Running precision/recall parity vs the reference's own `Metric`
+    (framework/metrics.py:5-67), `.cuda()` no-op'd for CPU torch. Multi-step
+    accumulation with the per-threshold guarded updates."""
+
+    ref_pipeline = TestPipelineParity.ref_pipeline
+
+    def test_metric_matches_reference(self, ref_pipeline, monkeypatch):
+        monkeypatch.setattr(
+            torch.Tensor, "cuda", lambda self, *a, **k: self, raising=False
+        )
+        sys.path.insert(0, REF_ROOT)
+        try:
+            import framework.metrics as ref_m
+        finally:
+            sys.path.remove(REF_ROOT)
+        from det3d_tpu.train.metrics import RunningMetrics, binary_counts
+
+        rng = np.random.RandomState(4)
+        ref_metric = ref_m.Metric()
+        got_metric = RunningMetrics()
+        for _ in range(5):
+            labels = rng.choice([-1, 0, 1], size=(2, 4096), p=[0.3, 0.6, 0.1])
+            labels = labels.astype(np.int32)
+            preds = (rng.randn(2, 4096, 1) * 2 - 1).astype(np.float32)
+            ref_metric.update(labels, torch.from_numpy(preds))
+            got_metric.update(
+                binary_counts(jnp.asarray(labels), jnp.asarray(preds[..., 0]))
+            )
+        ref_prec, ref_rec = (np.asarray(v) for v in ref_metric.value)
+        got_prec, got_rec = got_metric.value
+        np.testing.assert_allclose(got_prec, ref_prec, atol=1e-6)
+        np.testing.assert_allclose(got_rec, ref_rec, atol=1e-6)
+        assert (got_prec > 0).any() and (got_rec > 0).any()
