@@ -349,8 +349,14 @@ def box_lidar_to_camera(data, r_rect, velo2cam):
 
 
 def project_to_image(points_3d, proj_mat):
-    """3D camera-frame points → image plane via a 3x4/4x4 projection matrix
-    (reference: framework/box_np_ops.py:956-968)."""
+    """3D camera-frame points → image plane via a 3x4/4x4 projection matrix.
+
+    Standard homogeneous projection. The reference's own version
+    (framework/box_np_ops.py:1088-1096) survives only inside the :729-1231
+    graveyard string — the viewer's `box_np_ops.project_to_image` calls
+    would AttributeError at run time — and it pads the homogeneous column
+    with ZEROS, silently dropping the projection matrix's translation
+    (the camera baseline for KITTI P2). This implementation keeps it."""
     points_3d = jnp.asarray(points_3d)
     shape = points_3d.shape[:-1]
     pts = jnp.concatenate(
