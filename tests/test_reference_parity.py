@@ -1168,3 +1168,222 @@ class TestOptimizerParity:
         # must show up as the new lr
         np.testing.assert_allclose(np.abs(np.asarray(upd_old["w"])), 1e-3, rtol=1e-4)
         np.testing.assert_allclose(np.abs(np.asarray(upd_new["w"])), 5e-4, rtol=1e-4)
+
+
+def _untransplant(net, variables) -> None:
+    """Copy a trained Flax variables tree INTO the torch reference model —
+    the exact inverse of `_transplant` (see its layout comments)."""
+    params = jax.tree.map(np.asarray, variables["params"])
+    bstats = jax.tree.map(np.asarray, variables["batch_stats"])
+    sd = net.state_dict()
+    new = {}
+
+    def put(key, arr):
+        t = sd[key]
+        arr = np.ascontiguousarray(arr, dtype=np.float32).reshape(tuple(t.shape))
+        new[key] = torch.from_numpy(arr.copy()).to(t.dtype)
+
+    put("pillar_point_net.pfn_layers.0.weight", params["pfn"]["pfn_dense"]["kernel"].T)
+    put("pillar_point_net.pfn_layers.1.weight", params["pfn"]["pfn_bn"]["scale"])
+    put("pillar_point_net.pfn_layers.1.bias", params["pfn"]["pfn_bn"]["bias"])
+    put("pillar_point_net.pfn_layers.1.running_mean", bstats["pfn"]["pfn_bn"]["mean"])
+    put("pillar_point_net.pfn_layers.1.running_var", bstats["pfn"]["pfn_bn"]["var"])
+    rpn = params["rpn"]
+    block_units = {1: [(3, 2)], 2: [(3, 2), (4, 2)], 3: [(3, 2), (4, 2)]}
+    for b in (1, 2, 3):
+        put(f"rpn.block{b}.0.weight", rpn[f"block{b-1}_down"]["kernel"].transpose(3, 2, 0, 1))
+        units = block_units[b] + [(max(u for u, _ in block_units[b]) + 1, 1)]
+        for u, (seq_idx, n_convs) in enumerate(units):
+            for i in range(n_convs):
+                put(
+                    f"rpn.block{b}.{seq_idx}.conv_block.{2 + 3 * i}.weight",
+                    rpn[f"block{b-1}_res{u}"][f"conv{i}"]["kernel"].transpose(3, 2, 0, 1),
+                )
+    put("rpn.deconv1.0.weight", rpn["deconv0"]["kernel"].transpose(2, 3, 0, 1))
+    put("rpn.deconv2.0.weight", np.flip(rpn["deconv1"]["kernel"], (0, 1)).transpose(2, 3, 0, 1))
+    put("rpn.deconv3.0.weight", np.flip(rpn["deconv2"]["kernel"], (0, 1)).transpose(2, 3, 0, 1))
+    for h in ("cls", "box", "dir"):
+        put(f"heads.conv_{h}.weight", params["head"][f"conv_{h}"]["kernel"].T)
+        put(f"heads.conv_{h}.bias", params["head"][f"conv_{h}"]["bias"])
+    leftover = set(sd) - set(new) - {k for k in sd if "num_batches_tracked" in k}
+    assert not leftover, f"unmapped torch parameters: {sorted(leftover)}"
+    merged = dict(sd)
+    merged.update(new)
+    net.load_state_dict(merged)
+
+
+class _FrozenKeys(dict):
+    """dict whose listed pre-seeded keys silently ignore overwrites.
+
+    The reference's AnchorAssigner.__init__ hard-codes the production
+    400x400 per-class feature maps INTO the caller's config dict
+    (anchor_assigner.py:224-245); freezing those keys lets the reference's
+    own __init__ run unmodified at a scaled-down geometry — every other
+    field (sizes, rotations, thresholds) is still written by the reference
+    itself."""
+
+    def __init__(self, frozen, *a, **k):
+        super().__init__(*a, **k)
+        self._frozen = set(frozen)
+
+    def __setitem__(self, k, v):
+        if k in self._frozen and k in self:
+            return
+        super().__setitem__(k, v)
+
+
+class TestFullSystemParity:
+    """The whole-framework statement: train a model with THIS repo's
+    trainer, transplant the trained weights into the torch reference, and
+    run raw synthetic point clouds through BOTH complete systems —
+
+      ours:  Detector.detect (fused voxelize→mask→net→decode→NMS) →
+             to_annos → eval/ap.get_official_eval_result
+      ref:   InferData.get (VoxelGenerator.generate + create_mask) →
+             PointPillars(example) → Inference.infer_gpu →
+             eval/eval.get_official_eval_result
+
+    — and require identical detections and identical official mAP. The
+    reference side is the reference's OWN code end to end (numba stubbed to
+    identity; its CUDA NMS oracle-substituted; its CUDA rotated-IoU in eval
+    substituted by rotate_iou_eval_np on the ref side only — ours runs this
+    repo's evaluator unmodified). This is the in-environment discharge of
+    the 'mAP parity' claim: the real NTU dataset is absent, but on shared
+    frames with shared weights the two frameworks produce the same boxes,
+    the same scores, and byte-identical official eval output."""
+
+    ref_pipeline = TestPipelineParity.ref_pipeline
+
+    def test_trained_model_end_to_end_same_map(self, ref_pipeline, monkeypatch):
+        ref_aa, ref_inf = ref_pipeline
+        sys.path.insert(0, REF_ROOT)
+        try:
+            import eval.eval as ref_eval
+            import framework.dataset as ref_ds
+            import framework.voxel_generator as ref_vox
+            import networks.pointpillars8_shared as ref_net
+        finally:
+            sys.path.remove(REF_ROOT)
+
+        from det3d_tpu.anchors import build_anchors
+        from det3d_tpu.data.synthetic import sample_scene, scene_to_annos
+        from det3d_tpu.eval.ap import get_official_eval_result as ours_eval
+        from det3d_tpu.ops.rotated_iou import rotate_iou_eval_np
+        from det3d_tpu.postprocess import to_annos
+        from det3d_tpu.train.trainer import Trainer, host_batch
+
+        monkeypatch.setattr(
+            ref_eval,
+            "rotate_iou_gpu_eval",
+            lambda b, q, c=-1: np.array(rotate_iou_eval_np(b, q, c), copy=True),
+        )
+
+        cfg = load_config(
+            {
+                "detection_range": [-16.0, -16.0, -2.5, 16.0, 16.0, 8.5],
+                "center_limit": [-16.0, -16.0, -10.0, 16.0, 16.0, 10.0],
+                "voxel_size": [1.0, 1.0, 11.0],
+                "max_voxels": 512,
+                "max_num_points": 5,
+                "max_points": 8192,
+                "max_gt_boxes": 8,
+                "batch_size": 2,
+                "learning_rate": 2e-3,
+                "compute_dtype": "float32",
+            }
+        )
+
+        # --- train on 2 scenes with THIS repo's trainer (scene 2 held out)
+        rng = np.random.RandomState(11)
+        scenes = [
+            sample_scene(cfg, rng, num_objects=(2, 3), ground_points=1200)
+            for _ in range(3)
+        ]
+        trainer = Trainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        batch = jax.device_put(host_batch(cfg, scenes[:2]))
+        first = last = None
+        for _ in range(200):
+            state, loss_dict, _ = trainer.train_step_jit(state, batch)
+            last = float(loss_dict["loss"])
+            first = first if first is not None else last
+        assert last < first * 0.01, (first, last)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        # --- reference stack at the same geometry (frozen feature maps)
+        fms = [int(cfg.feature_map_size[0]), int(cfg.feature_map_size[1]), 1]
+        ref_config = _FrozenKeys(
+            ("vehicle", "pedestrian", "cyclist"),
+            {
+                "detection_range": np.asarray(cfg.detection_range_raw, np.float32),
+                "voxel_size": np.asarray(cfg.voxel_size, np.float32),
+                "max_num_points": cfg.max_num_points,
+                "max_voxels": cfg.max_voxels,
+                "create_mask_gpu": 0,
+                "device": torch.device("cpu"),
+                "num_point_features": 4,
+                "batch_size": 1,
+                "box_code_size": 7,
+                "center_limit": np.asarray(cfg.center_limit, np.float32),
+                "vehicle": _FrozenKeys(
+                    ("feature_map_size",), {"feature_map_size": [list(fms)] * 3}
+                ),
+                "pedestrian": _FrozenKeys(
+                    ("feature_map_size",), {"feature_map_size": [list(fms)]}
+                ),
+                "cyclist": _FrozenKeys(
+                    ("feature_map_size",), {"feature_map_size": [list(fms)]}
+                ),
+            },
+        )
+        vg = ref_vox.VoxelGenerator(ref_config)
+        assigner = ref_aa.AnchorAssigner(ref_config)
+        np.testing.assert_allclose(
+            build_anchors(cfg).anchors, assigner.anchors, atol=1e-5
+        )
+        net = ref_net.PointPillars(ref_config)
+        _untransplant(net, variables)
+        net.eval()
+        infer_data = ref_ds.InferData(ref_config, vg, assigner)
+        inference = ref_inf.Inference(ref_config, assigner)
+
+        # --- raw points through BOTH complete systems
+        dt_ours, dt_ref = [], []
+        for scene in scenes:
+            pts = scene["points"].astype(np.float32)
+            ppts, n = trainer.detector.pad_points(pts)
+            det = trainer.eval_step_jit(state, ppts, n)
+            dt_ours.append(to_annos(cfg, jax.device_get(det)))
+            example = infer_data.get(pts)
+            with torch.no_grad():
+                preds = net(example)
+            dt_ref.append(inference.infer_gpu(example, preds)[0])
+
+        total = 0
+        for a, b in zip(dt_ours, dt_ref):
+            assert list(a["name"]) == list(b["name"])
+            if len(a["name"]):
+                np.testing.assert_allclose(a["location"], b["location"], atol=1e-4)
+                np.testing.assert_allclose(a["dimensions"], b["dimensions"], atol=1e-4)
+                np.testing.assert_allclose(a["rotation_y"], b["rotation_y"], atol=1e-4)
+                np.testing.assert_allclose(a["score"], b["score"], atol=1e-5)
+            total += len(a["name"])
+        assert total >= 5 and max(float(a["score"].max()) for a in dt_ours if len(a["name"])) > 0.8
+
+        # --- official mAP from both evaluators (frames replicated to 60:
+        # the reference splitter makes empty parts below num_parts=50,
+        # eval.py:173-180; replication scales TP/FP equally so AP is
+        # unchanged)
+        gt = [scene_to_annos(s, cfg) for s in scenes]
+        rep = 20
+        classes = list(cfg.detect_class)
+        res_ours, str_ours = ours_eval(gt * rep, dt_ours * rep, classes, 80.0)
+        res_ref, str_ref = ref_eval.get_official_eval_result(
+            gt * rep, dt_ref * rep, classes, 80.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_ours), np.asarray(res_ref), atol=1e-9
+        )
+        assert str_ours == str_ref
+        # the trained model actually detects: vehicle BEV AP well above zero
+        assert np.asarray(res_ref).max() > 50.0
