@@ -13,7 +13,9 @@ from __future__ import annotations
 
 import pickle
 import time
+
 import jax
+import numpy as np
 
 from det3d_tpu.config import Config
 from det3d_tpu.pipeline import Detector
@@ -70,8 +72,6 @@ def infer(
     total = 0.0
     if batch > 1:
         # vmapped batches amortize per-dispatch latency over `batch` frames
-        import numpy as np
-
         batched = jax.jit(
             jax.vmap(lambda p, m: det.infer(variables, p, m))
         )
@@ -101,9 +101,13 @@ def infer(
                 )
         if timed_frames == 0 and samples:
             # num_frames <= batch: the single chunk paid compile, so nothing
-            # was timed. Re-dispatch it (now compiled) for a real average.
+            # was timed. Re-dispatch it (now compiled) for a real average —
+            # with PERTURBED inputs: the axon relay can dedupe a repeat
+            # execution of content-identical buffers (CLAUDE.md), which
+            # would report near-zero fiction here.
+            pts2 = pts + np.float32(1e-3)
             t0 = time.perf_counter()
-            jax.block_until_ready(batched(pts, cnt))
+            jax.block_until_ready(batched(pts2, cnt))
             total = time.perf_counter() - t0
             timed_frames = batch
             timers.add("e2e", total / batch)
@@ -121,7 +125,9 @@ def infer(
             dt_annos.append(to_annos(cfg, jax.device_get(out)))
         if total == 0.0 and samples:
             # single frame: it paid compile; re-dispatch for a real number
+            # (inputs perturbed — the relay dedupes identical repeats)
             pts, n = det.pad_points(samples[0]["points"])
+            pts = pts + np.float32(1e-3)
             t0 = time.perf_counter()
             jax.block_until_ready(det.infer_jit(variables, pts, n))
             total = time.perf_counter() - t0

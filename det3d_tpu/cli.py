@@ -142,6 +142,14 @@ def main(argv: list[str] | None = None) -> None:
     overrides = {} if args.max_points is None else {"max_points": args.max_points}
     cfg = load_config(args.config, **overrides)
 
+    if args.platform == "cpu" and str(cfg.compute_dtype) in ("bfloat16", "bf16"):
+        # XLA:CPU's thunk runtime has no bf16 dot (`DotThunk: BF16 x BF16 =
+        # F32 UNIMPLEMENTED`, hit by the PFN dense wgrad) — the CPU platform
+        # is the debug backend, so promote the compute dtype there.
+        print("--platform cpu: promoting compute_dtype bfloat16 -> float32 "
+              "(XLA:CPU has no bf16 dot kernel)")
+        cfg = cfg.replace(compute_dtype="float32")
+
     if args.cmd == "train":
         if args.batch_size:
             cfg = cfg.replace(batch_size=args.batch_size)

@@ -169,9 +169,13 @@ def _canvas_s2d_subtile_kernel(
                 preferred_element_type=jnp.float32,
             )
 
+        # an empty range (lo == hi) must run ZERO chunks — the naive
+        # lo//C .. ceil(hi/C) bounds still run one matmul whenever lo is
+        # not chunk-aligned, which at ~50% occupancy would halve the
+        # whole point of the sub-tile skip
         acc = jax.lax.fori_loop(
             lo // _CHUNK,
-            (hi + _CHUNK - 1) // _CHUNK,
+            jnp.where(hi > lo, (hi + _CHUNK - 1) // _CHUNK, lo // _CHUNK),
             chunk_body,
             jnp.zeros((sub, 4 * cdim), jnp.float32),
         )
