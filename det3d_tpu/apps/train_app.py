@@ -137,6 +137,10 @@ def train(
             cfg, hybrid_mesh, device_global_augment=device_augment, aug_seed=seed
         )
     else:
+        # (pure DP over >1 devices runs this trainer's step as the body of
+        # a shard_map — parallel/mesh.make_sharded_train_step — so the s2b
+        # fence and the other Pallas custom calls execute per-device on
+        # local shards; the Trainer default fence stays correct here)
         trainer = Trainer(cfg, device_global_augment=device_augment, aug_seed=seed)
     ckpt = CheckpointManager(model_dir)
 

@@ -57,8 +57,17 @@ class MaskedBatchNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: jax.Array, train: bool) -> jax.Array:
-        # x: (..., C); mask: broadcastable to x[..., 0]
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: jax.Array,
+        train: bool,
+        axis_name: str | None = None,
+    ) -> jax.Array:
+        # x: (..., C); mask: broadcastable to x[..., 0]. `axis_name`: sync-BN
+        # — inside a shard_map data-parallel step the masked sums/counts
+        # psum across devices, so the statistics are exactly the full
+        # global-batch values (torch-on-one-GPU semantics), not per-shard.
         c = x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
@@ -68,9 +77,18 @@ class MaskedBatchNorm(nn.Module):
         if train:
             m = mask.astype(jnp.float32)[..., None]
             xf = x.astype(jnp.float32) * m
-            denom = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(xf, axis=tuple(range(x.ndim - 1))) / denom
-            var = jnp.sum(m * (x.astype(jnp.float32) - mean) ** 2, axis=tuple(range(x.ndim - 1))) / denom
+            red = tuple(range(x.ndim - 1))
+            count = jnp.sum(m)
+            sum_x = jnp.sum(xf, axis=red)
+            if axis_name is not None:
+                count = jax.lax.psum(count, axis_name)
+                sum_x = jax.lax.psum(sum_x, axis_name)
+            denom = jnp.maximum(count, 1.0)
+            mean = sum_x / denom
+            sum_sq = jnp.sum(m * (x.astype(jnp.float32) - mean) ** 2, axis=red)
+            if axis_name is not None:
+                sum_sq = jax.lax.psum(sum_sq, axis_name)
+            var = sum_sq / denom
             if not self.is_initializing():
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * var
@@ -97,6 +115,7 @@ class PFN(nn.Module):
         num_points: jax.Array,    # (B, V) int32
         coors: jax.Array,         # (B, V, 3) int32 (-1 for empty slots)
         train: bool = False,
+        axis_name: str | None = None,  # sync-BN axis (shard_map DP step)
     ) -> jax.Array:               # (B, V, out_channels)
         vx, vy = self.voxel_size[0], self.voxel_size[1]
         x_offset = vx / 2 + self.offset[0]
@@ -126,7 +145,7 @@ class PFN(nn.Module):
         x = nn.Dense(self.out_channels, use_bias=False, dtype=self.compute_dtype, name="pfn_dense")(
             features.astype(self.compute_dtype)
         )
-        x = MaskedBatchNorm(name="pfn_bn")(x, mask, train)
+        x = MaskedBatchNorm(name="pfn_bn")(x, mask, train, axis_name)
         x = nn.relu(x)
         # max over ALL of the pillar's point slots, padding included — exactly
         # the reference semantics (pointpillars8_shared.py:57-60): a padding
@@ -939,6 +958,7 @@ class PointPillars(nn.Module):
         num_points: jax.Array,   # (B, V)
         coors: jax.Array,        # (B, V, 3)
         train: bool = False,
+        axis_name: str | None = None,  # sync-BN axis (shard_map DP step)
     ) -> dict[str, jax.Array]:
         dtype = jnp.dtype(self.cfg.compute_dtype)
         pillar_features = PFN(
@@ -946,7 +966,7 @@ class PointPillars(nn.Module):
             offset=tuple(self.cfg.detection_offset),
             compute_dtype=dtype,
             name="pfn",
-        )(voxels, num_points, coors, train)
+        )(voxels, num_points, coors, train, axis_name)
         grid_xy = (self.cfg.grid_size[0], self.cfg.grid_size[1])
         pack = (
             getattr(self.cfg, "pack_w", True)

@@ -3,10 +3,13 @@
 Scaling design (see SURVEY.md §2i / §5): this workload is a small conv net
 (~5 M params) over large per-frame data, so the right TPU decomposition is
 pure batch data-parallelism for throughput — params replicated, per-frame
-tensors sharded on the batch axis over ICI. XLA inserts the gradient `psum`
-automatically from the sharding annotations on one `jax.jit`; there is no
-hand-written collective anywhere. (The reference has no distributed path at
-all: a single `cuda:0` device, reference train.py:27.)
+tensors sharded on the batch axis over ICI, expressed as a `shard_map` whose
+body is the full per-device step (gradient `pmean` + sync-BN `psum` ride
+ICI), so the train path's Pallas custom calls run per-device instead of
+being replicated by GSPMD. The within-sample spatial modes keep GSPMD
+(conv halo exchange needs the compiler); the hybrid mode composes both via
+partial-manual shard_map (manual `data`, auto `spatial`). (The reference
+has no distributed path at all: a single `cuda:0` device, train.py:27.)
 
 For single-frame LATENCY, `make_spatial_infer` instead partitions one frame
 spatially: the BEV canvas is pinned sharded along x and GSPMD partitions the
@@ -21,6 +24,7 @@ scaling mode pure DP can't provide.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -70,14 +74,29 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
 
 
 def make_sharded_train_step(trainer, mesh: Mesh):
-    """The trainer's step jit-ted with params replicated and the batch
-    sharded on the data axis; gradients all-reduce over ICI automatically."""
-    return jax.jit(
-        trainer.train_step,
-        in_shardings=(replicated(mesh), batch_sharded(mesh)),
-        out_shardings=(replicated(mesh), replicated(mesh), replicated(mesh)),
-        donate_argnums=(0,),
+    """Pure data-parallel training as a `shard_map` over the data axis:
+    every device runs the FULL local step on its batch shard (params
+    replicated) and gradients `pmean` over ICI inside the step
+    (`Trainer.train_step(axis_name=...)`).
+
+    shard_map — not GSPMD sharding annotations — is deliberate here: the
+    TPU train step contains Pallas custom calls (fused target matcher, BEV
+    canvas scatter, the s2b fences) that GSPMD cannot partition; under a
+    plain sharded jit it would all-gather their operands and run them
+    replicated on every chip. Inside shard_map each device executes them on
+    its local shard, which is the whole point of data parallelism. The
+    spatial modes below still use GSPMD — partitioning convolutions WITHIN
+    one sample needs the compiler's halo machinery."""
+    step = jax.shard_map(
+        functools.partial(trainer.train_step, axis_name=DATA_AXIS),
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=(P(), P(), P()),
+        # outputs ARE replicated (identical post-pmean update on every
+        # device) but custom calls block the static replication checker
+        check_vma=False,
     )
+    return jax.jit(step, donate_argnums=(0,))
 
 
 def make_spatial_train(cfg, mesh: Mesh, *, s2b_fence: bool = False, **trainer_kwargs):
@@ -113,10 +132,21 @@ def make_spatial_train(cfg, mesh: Mesh, *, s2b_fence: bool = False, **trainer_kw
     canvas_sharding = NamedSharding(mesh, P(P.UNCONSTRAINED, SPATIAL_AXIS))
     det = Detector(cfg, canvas_sharding=canvas_sharding)
     trainer = Trainer(cfg, det, s2b_fence=s2b_fence, **trainer_kwargs)
+    # partial-manual shard_map: MANUAL over `data` (each DP group runs the
+    # full local step — Pallas matcher/scatter execute per-group, grads
+    # pmean + sync-BN psum over `data` inside Trainer.train_step), AUTO over
+    # `spatial` (GSPMD still partitions the convolutions within each sample
+    # from the canvas sharding constraint — halo exchanges need the
+    # compiler). Validated vs the single-device step in tests/test_parallel.
     step = jax.jit(
-        trainer.train_step,
-        in_shardings=(replicated(mesh), batch_sharded(mesh)),
-        out_shardings=(replicated(mesh), replicated(mesh), replicated(mesh)),
+        jax.shard_map(
+            functools.partial(trainer.train_step, axis_name=DATA_AXIS),
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS)),
+            out_specs=(P(), P(), P()),
+            axis_names=frozenset({DATA_AXIS}),
+            check_vma=False,
+        ),
         donate_argnums=(0,),
     )
     return trainer, step
@@ -163,13 +193,19 @@ def make_spatial_infer(cfg, mesh: Mesh, **detector_kwargs):
 
 def make_sharded_infer(detector, mesh: Mesh):
     """Batched inference sharded on the data axis: (B, max_points, C) →
-    per-frame Detections, for throughput eval over all chips."""
-
+    per-frame Detections, for throughput eval over all chips. shard_map for
+    the same reason as the train step: the per-frame pipeline ends in the
+    Pallas NMS custom call, which must run per-device on local frames, not
+    replicated by GSPMD."""
     def infer_batch(variables, points, num_points):
         return jax.vmap(lambda p, n: detector.infer(variables, p, n))(points, num_points)
 
     return jax.jit(
-        infer_batch,
-        in_shardings=(replicated(mesh), batch_sharded(mesh), batch_sharded(mesh)),
-        out_shardings=batch_sharded(mesh),
+        jax.shard_map(
+            infer_batch,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )
     )

@@ -162,12 +162,28 @@ class Trainer:
         ]
         return jax.tree.map(lambda *xs: jnp.stack(xs), *per_sample)
 
-    def train_step(self, state: TrainState, batch: TrainBatch):
+    def train_step(
+        self,
+        state: TrainState,
+        batch: TrainBatch,
+        axis_name: str | None = None,
+    ):
+        """One optimizer step. With `axis_name` set, the step runs as the
+        PER-DEVICE body of a `shard_map` over that mesh axis (the batch is
+        the local shard): gradients/losses `pmean`, metric counts `psum`,
+        and batch stats `pmean` across devices, then the identical update is
+        applied everywhere — the data-parallel decomposition that keeps the
+        Pallas custom calls (matcher, scatter, fences) per-device instead of
+        forcing GSPMD to replicate them (parallel/mesh.make_sharded_train_step)."""
         aug_key = (
             None
             if self._aug_key is None
             else jax.random.fold_in(self._aug_key, state.step)
         )
+        if aug_key is not None and axis_name is not None:
+            # decorrelate per-device augmentation draws: inside shard_map
+            # every device sees the same replicated step counter
+            aug_key = jax.random.fold_in(aug_key, jax.lax.axis_index(axis_name))
         frame, anchors_mask, tgt = self._prepare(batch, aug_key)
 
         def loss_fn(params):
@@ -177,6 +193,9 @@ class Trainer:
                 frame.num_points_per_voxel,
                 frame.coors,
                 train=True,
+                # sync-BN: under shard_map the PFN batch statistics psum
+                # over the data axis — exactly the full-global-batch values
+                axis_name=axis_name,
                 mutable=["batch_stats"],
             )
             if self.use_s2b_fence:
@@ -205,9 +224,19 @@ class Trainer:
             from det3d_tpu.kernels.fence_pallas import fence_any
 
             grads = jax.tree.map(fence_any, grads)
+        metrics = binary_counts(tgt.labels, preds["cls_preds"])
+        if axis_name is not None:
+            # per-sample-normalized losses mean over the batch, so pmean of
+            # the local means == the full-batch value; metric counts sum.
+            # batch_stats pmean: the running-stat update averages the
+            # per-shard batch means (within momentum-0.99 noise of the exact
+            # full-batch stats; grads/params stay exact).
+            grads = jax.lax.pmean(grads, axis_name)
+            loss_dict = jax.lax.pmean(loss_dict, axis_name)
+            new_stats = jax.lax.pmean(new_stats, axis_name)
+            metrics = jax.tree.map(lambda x: jax.lax.psum(x, axis_name), metrics)
         updates, new_opt_state = self.optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        metrics = binary_counts(tgt.labels, preds["cls_preds"])
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
