@@ -35,12 +35,18 @@ def infer(
     seed: int = 1,
     batch: int = 1,
     exact_topk: bool = False,
+    spatial: bool = False,
 ) -> dict:
     """Returns {"dt_annos", "gt_annos", "eval_strs", "avg_ms"}.
 
     `exact_topk=True` forces exact pre-NMS top-k (postprocess.PostProcessParams
     approx_topk=False) — the escape hatch for bit-exact parity runs and the
-    approx-vs-exact mAP A/B."""
+    approx-vs-exact mAP A/B.
+
+    `spatial=True` partitions each frame's conv stack over ALL visible
+    devices (parallel/mesh.make_spatial_infer) — the multi-chip single-frame
+    latency mode; mutually exclusive with `batch > 1` (batch parallelism and
+    within-frame partitioning are different axes)."""
     from det3d_tpu.apps.train_app import _eval_samples
     from det3d_tpu.eval.ap import get_official_eval_result
 
@@ -49,7 +55,19 @@ def infer(
         from det3d_tpu.postprocess import PostProcessParams
 
         pp = PostProcessParams(approx_topk=False)
-    det = Detector(cfg, postprocess_params=pp)
+    spatial_fn = None
+    if spatial:
+        if batch > 1:
+            raise ValueError("--spatial partitions within one frame; use it with batch=1")
+        from det3d_tpu.parallel.mesh import make_spatial_infer, make_spatial_mesh
+
+        mesh = make_spatial_mesh()
+        det, spatial_fn = make_spatial_infer(
+            cfg, mesh, postprocess_params=pp
+        )
+        print(f"spatial partitioning over {mesh.devices.size} devices")
+    else:
+        det = Detector(cfg, postprocess_params=pp)
     if checkpoint:
         from det3d_tpu.train.checkpoint import CheckpointManager
         from det3d_tpu.train.trainer import Trainer
@@ -113,10 +131,11 @@ def infer(
             timers.add("e2e", total / batch)
         denom = max(timed_frames, 1)
     else:
+        frame_fn = spatial_fn if spatial_fn is not None else det.infer_jit
         for i, s in enumerate(samples):
             pts, n = det.pad_points(s["points"])
             t0 = time.perf_counter()
-            out = det.infer_jit(variables, pts, n)
+            out = frame_fn(variables, pts, n)
             jax.block_until_ready(out)
             dt = time.perf_counter() - t0
             if i > 0:  # skip compile
@@ -129,12 +148,12 @@ def infer(
             pts, n = det.pad_points(samples[0]["points"])
             pts = pts + np.float32(1e-3)
             t0 = time.perf_counter()
-            jax.block_until_ready(det.infer_jit(variables, pts, n))
+            jax.block_until_ready(frame_fn(variables, pts, n))
             total = time.perf_counter() - t0
             timers.add("e2e", total)
         denom = max(len(samples) - 1, 1)
 
-    if breakdown:
+    if breakdown and spatial_fn is None:
         _stage_breakdown(det, variables, samples[0], timers)
 
     avg_ms = 1e3 * total / denom

@@ -78,6 +78,12 @@ def main(argv: list[str] | None = None) -> None:
         help="exact pre-NMS top-k instead of the TPU-default bucketed "
         "approximation (parity runs / approx-vs-exact mAP A/B)",
     )
+    p.add_argument(
+        "--spatial", action="store_true",
+        help="spatially partition each frame's conv stack over ALL visible "
+        "devices (parallel/mesh.make_spatial_infer) — multi-chip single-"
+        "frame latency scaling; incompatible with --batch > 1",
+    )
 
     p = sub.add_parser("eval", help="official mAP from pickled annos (reference eval/)")
     add_common(p)
@@ -187,6 +193,7 @@ def main(argv: list[str] | None = None) -> None:
                 out_path=args.out,
                 batch=args.batch,
                 exact_topk=args.exact_topk,
+                spatial=args.spatial,
             )
     elif args.cmd == "eval":
         import pickle
