@@ -89,10 +89,21 @@ def infer(
     dt_annos = []
     total = 0.0
     if batch > 1:
-        # vmapped batches amortize per-dispatch latency over `batch` frames
-        batched = jax.jit(
-            jax.vmap(lambda p, m: det.infer(variables, p, m))
-        )
+        # vmapped batches amortize per-dispatch latency over `batch` frames;
+        # with multiple devices and a divisible batch, the frames also shard
+        # across the mesh (throughput eval over all chips — the shard_map
+        # path of parallel/mesh.make_sharded_infer)
+        n_dev = len(jax.devices())
+        if n_dev > 1 and batch % n_dev == 0:
+            from det3d_tpu.parallel.mesh import make_mesh, make_sharded_infer
+
+            sharded = make_sharded_infer(det, make_mesh())
+            batched = lambda p, m: sharded(variables, p, m)  # noqa: E731
+            print(f"batch {batch} data-parallel over {n_dev} devices")
+        else:
+            batched = jax.jit(
+                jax.vmap(lambda p, m: det.infer(variables, p, m))
+            )
         timed_frames = 0  # frames dispatched after the compile chunk
         for start in range(0, len(samples), batch):
             chunk = samples[start : start + batch]

@@ -287,6 +287,27 @@ class TestBatchedInfer:
                 )
 
 
+class TestShardedBatchInfer:
+    def test_device_sharded_batch_matches_plain(self):
+        """--batch 8 on the 8-device mesh auto-shards frames across devices
+        (make_sharded_infer); detections must match the plain vmapped path
+        (the app-level wiring; numerics pinned in tests/test_parallel.py)."""
+        import numpy as np
+
+        from det3d_tpu.apps.infer_app import infer
+
+        cfg = small_cfg(max_points=2048, max_voxels=256)
+        r1 = infer(cfg, synthetic=True, num_frames=8, range_thresholds=(80.0,), seed=3, batch=4)
+        r2 = infer(cfg, synthetic=True, num_frames=8, range_thresholds=(80.0,), seed=3, batch=8)
+        assert len(r1["dt_annos"]) == len(r2["dt_annos"]) == 8
+        for a, b in zip(r1["dt_annos"], r2["dt_annos"]):
+            np.testing.assert_array_equal(np.sort(a["name"]), np.sort(b["name"]))
+            if len(a["name"]):
+                np.testing.assert_allclose(
+                    np.sort(a["score"]), np.sort(b["score"]), atol=1e-4
+                )
+
+
 class TestSpatialInfer:
     def test_spatial_eval_matches_per_frame(self):
         """--spatial eval (frame conv stack GSPMD-partitioned over the
