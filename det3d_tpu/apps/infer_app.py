@@ -59,6 +59,9 @@ def infer(
     if spatial:
         if batch > 1:
             raise ValueError("--spatial partitions within one frame; use it with batch=1")
+        if breakdown:
+            print("NOTE: --breakdown is per-stage on a single device and is "
+                  "skipped under --spatial")
         from det3d_tpu.parallel.mesh import make_spatial_infer, make_spatial_mesh
 
         mesh = make_spatial_mesh()
@@ -93,14 +96,29 @@ def infer(
         # with multiple devices and a divisible batch, the frames also shard
         # across the mesh (throughput eval over all chips — the shard_map
         # path of parallel/mesh.make_sharded_infer)
-        n_dev = len(jax.devices())
-        if n_dev > 1 and batch % n_dev == 0:
-            from det3d_tpu.parallel.mesh import make_mesh, make_sharded_infer
+        import math
 
-            sharded = make_sharded_infer(det, make_mesh())
+        n_dev = len(jax.devices())
+        use_dev = math.gcd(batch, n_dev)
+        if use_dev > 1:
+            from det3d_tpu.parallel.mesh import (
+                make_mesh, make_sharded_infer, replicated,
+            )
+
+            mesh = make_mesh(use_dev)
+            # place params replicated ONCE — uncommitted host arrays would
+            # otherwise re-broadcast the whole tree on every chunk dispatch
+            variables = jax.device_put(variables, replicated(mesh))
+            sharded = make_sharded_infer(det, mesh)
             batched = lambda p, m: sharded(variables, p, m)  # noqa: E731
-            print(f"batch {batch} data-parallel over {n_dev} devices")
+            print(f"batch {batch} data-parallel over {use_dev}/{n_dev} devices"
+                  + ("" if use_dev == n_dev else
+                     f" (batch does not divide {n_dev}; gcd submesh)"))
         else:
+            if n_dev > 1:
+                print(f"batch {batch} shares no factor with {n_dev} devices "
+                      "— running single-device (pick a divisible --batch to "
+                      "use the mesh)")
             batched = jax.jit(
                 jax.vmap(lambda p, m: det.infer(variables, p, m))
             )

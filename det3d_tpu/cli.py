@@ -148,13 +148,17 @@ def main(argv: list[str] | None = None) -> None:
     overrides = {} if args.max_points is None else {"max_points": args.max_points}
     cfg = load_config(args.config, **overrides)
 
-    if args.platform == "cpu" and str(cfg.compute_dtype) in ("bfloat16", "bf16"):
-        # XLA:CPU's thunk runtime has no bf16 dot (`DotThunk: BF16 x BF16 =
-        # F32 UNIMPLEMENTED`, hit by the PFN dense wgrad) — the CPU platform
-        # is the debug backend, so promote the compute dtype there.
-        print("--platform cpu: promoting compute_dtype bfloat16 -> float32 "
-              "(XLA:CPU has no bf16 dot kernel)")
-        cfg = cfg.replace(compute_dtype="float32")
+    if args.cmd == "train" and str(cfg.compute_dtype) in ("bfloat16", "bf16"):
+        import jax
+
+        if jax.default_backend() == "cpu":
+            # XLA:CPU's thunk runtime has no bf16 dot (`DotThunk: BF16 x
+            # BF16 = F32 UNIMPLEMENTED`), which only the TRAIN step hits
+            # (the PFN-dense wgrad) — promote for training on the CPU debug
+            # backend; inference/export keep the configured dtype.
+            print("train on cpu backend: promoting compute_dtype bfloat16 -> "
+                  "float32 (XLA:CPU has no bf16 dot kernel)")
+            cfg = cfg.replace(compute_dtype="float32")
 
     if args.cmd == "train":
         if args.batch_size:

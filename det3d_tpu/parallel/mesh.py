@@ -73,6 +73,26 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     return jax.device_put(batch, batch_sharded(mesh))
 
 
+def _shard_map_step(trainer, mesh: Mesh, manual_axes: frozenset | None = None):
+    """trainer.train_step as a jitted shard_map over the data axis.
+
+    `manual_axes` limits which mesh axes are manual (partial-manual mode:
+    remaining axes stay GSPMD-auto inside the body); None = all manual.
+    out_specs are replicated — the post-pmean update is identical on every
+    device — but the Pallas custom calls block jax's static replication
+    checker, hence check_vma=False."""
+    kwargs = {} if manual_axes is None else {"axis_names": manual_axes}
+    step = jax.shard_map(
+        functools.partial(trainer.train_step, axis_name=DATA_AXIS),
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+        **kwargs,
+    )
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def make_sharded_train_step(trainer, mesh: Mesh):
     """Pure data-parallel training as a `shard_map` over the data axis:
     every device runs the FULL local step on its batch shard (params
@@ -87,16 +107,7 @@ def make_sharded_train_step(trainer, mesh: Mesh):
     its local shard, which is the whole point of data parallelism. The
     spatial modes below still use GSPMD — partitioning convolutions WITHIN
     one sample needs the compiler's halo machinery."""
-    step = jax.shard_map(
-        functools.partial(trainer.train_step, axis_name=DATA_AXIS),
-        mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS)),
-        out_specs=(P(), P(), P()),
-        # outputs ARE replicated (identical post-pmean update on every
-        # device) but custom calls block the static replication checker
-        check_vma=False,
-    )
-    return jax.jit(step, donate_argnums=(0,))
+    return _shard_map_step(trainer, mesh)
 
 
 def make_spatial_train(cfg, mesh: Mesh, *, s2b_fence: bool = False, **trainer_kwargs):
@@ -138,17 +149,7 @@ def make_spatial_train(cfg, mesh: Mesh, *, s2b_fence: bool = False, **trainer_kw
     # `spatial` (GSPMD still partitions the convolutions within each sample
     # from the canvas sharding constraint — halo exchanges need the
     # compiler). Validated vs the single-device step in tests/test_parallel.
-    step = jax.jit(
-        jax.shard_map(
-            functools.partial(trainer.train_step, axis_name=DATA_AXIS),
-            mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS)),
-            out_specs=(P(), P(), P()),
-            axis_names=frozenset({DATA_AXIS}),
-            check_vma=False,
-        ),
-        donate_argnums=(0,),
-    )
+    step = _shard_map_step(trainer, mesh, manual_axes=frozenset({DATA_AXIS}))
     return trainer, step
 
 

@@ -228,12 +228,11 @@ class Trainer:
         if axis_name is not None:
             # per-sample-normalized losses mean over the batch, so pmean of
             # the local means == the full-batch value; metric counts sum.
-            # batch_stats pmean: the running-stat update averages the
-            # per-shard batch means (within momentum-0.99 noise of the exact
-            # full-batch stats; grads/params stay exact).
+            # batch_stats need NO collective: the MaskedBatchNorm sync-BN
+            # already psums its masked sums/counts, so every device computed
+            # the identical full-global-batch statistics.
             grads = jax.lax.pmean(grads, axis_name)
             loss_dict = jax.lax.pmean(loss_dict, axis_name)
-            new_stats = jax.lax.pmean(new_stats, axis_name)
             metrics = jax.tree.map(lambda x: jax.lax.psum(x, axis_name), metrics)
         updates, new_opt_state = self.optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
