@@ -28,9 +28,22 @@ from det3d_tpu.postprocess import to_annos
 class PointCloudServer:
     """Bounded-queue streaming inference (reference ros_node.py:52-83)."""
 
-    def __init__(self, cfg: Config, variables, *, detector: Detector | None = None, queue_size: int = 2):
+    def __init__(
+        self,
+        cfg: Config,
+        variables,
+        *,
+        detector: Detector | None = None,
+        queue_size: int = 2,
+        infer_fn=None,
+    ):
         self.cfg = cfg
         self.detector = detector or Detector(cfg)
+        # infer_fn override: e.g. the spatially-partitioned multi-chip path
+        # from parallel.mesh.make_spatial_infer (same (variables, points,
+        # num_points) -> Detections signature as Detector.infer_jit).
+        # Resolved lazily so callers may swap self.detector post-init.
+        self._infer_fn = infer_fn
         self.variables = variables
         self.queue: queue.Queue = queue.Queue(maxsize=queue_size)
         self.latencies: list[float] = []
@@ -58,10 +71,14 @@ class PointCloudServer:
     def stop(self) -> None:
         self._stop.set()
 
+    @property
+    def infer_fn(self):
+        return self._infer_fn if self._infer_fn is not None else self.detector.infer_jit
+
     def warmup(self) -> None:
         pts = np.zeros((self.cfg.max_points, self.cfg.num_point_features), np.float32)
         jax.block_until_ready(
-            self.detector.infer_jit(self.variables, pts, np.int32(0))
+            self.infer_fn(self.variables, pts, np.int32(0))
         )
 
     def spin(self, max_frames: int | None = None, on_result=None) -> None:
@@ -75,7 +92,7 @@ class PointCloudServer:
             except queue.Empty:
                 continue
             padded, n = self.detector.pad_points(points)
-            det = self.detector.infer_jit(self.variables, padded, n)
+            det = self.infer_fn(self.variables, padded, n)
             annos = to_annos(self.cfg, jax.device_get(det))
             latency = time.perf_counter() - stamp
             self.latencies.append(latency)
@@ -88,27 +105,43 @@ class PointCloudServer:
 
 
 def serve_synthetic(
-    cfg: Config, *, checkpoint: str | None = None, frames: int = 100, hz: float = 10.0
+    cfg: Config,
+    *,
+    checkpoint: str | None = None,
+    frames: int = 100,
+    hz: float = 10.0,
+    spatial: bool = False,
 ) -> list[float]:
-    """Drive the server from a synthetic sensor at `hz` frames/sec."""
+    """Drive the server from a synthetic sensor at `hz` frames/sec.
+
+    `spatial=True` serves each frame spatially partitioned over ALL visible
+    devices (parallel/mesh.make_spatial_infer) — the multi-chip serving-
+    latency mode."""
     from det3d_tpu.data.synthetic import sample_scene
 
+    infer_fn = None
+    if spatial:
+        from det3d_tpu.parallel.mesh import make_spatial_infer, make_spatial_mesh
+
+        mesh = make_spatial_mesh()
+        det, infer_fn = make_spatial_infer(cfg, mesh)
+        print(f"serving spatially partitioned over {mesh.devices.size} devices")
+    else:
+        det = Detector(cfg)
     if checkpoint:
         from det3d_tpu.train.checkpoint import CheckpointManager
         from det3d_tpu.train.trainer import Trainer
 
-        trainer = Trainer(cfg)
+        trainer = Trainer(cfg, det)
         state = CheckpointManager(checkpoint).restore_latest(
             trainer.init_state(jax.random.PRNGKey(0))
         )
         if state is None:
             raise FileNotFoundError(f"no latest checkpoint under {checkpoint}")
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        server = PointCloudServer(cfg, variables, detector=trainer.detector)
     else:
-        det = Detector(cfg)
         variables = det.init_variables(jax.random.PRNGKey(0))
-        server = PointCloudServer(cfg, variables, detector=det)
+    server = PointCloudServer(cfg, variables, detector=det, infer_fn=infer_fn)
 
     server.warmup()
     rng = np.random.RandomState(0)

@@ -101,6 +101,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--frames", type=int, default=100)
     p.add_argument("--hz", type=float, default=10.0)
+    p.add_argument(
+        "--spatial", action="store_true",
+        help="serve each frame spatially partitioned over all visible "
+        "devices (multi-chip serving latency)",
+    )
 
     p = sub.add_parser("view", help="render BEV scene frames (reference viewer.py)")
     add_common(p)
@@ -232,7 +237,10 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "serve":
         from det3d_tpu.apps.serve_app import serve_synthetic
 
-        serve_synthetic(cfg, checkpoint=args.checkpoint, frames=args.frames, hz=args.hz)
+        serve_synthetic(
+            cfg, checkpoint=args.checkpoint, frames=args.frames, hz=args.hz,
+            spatial=args.spatial,
+        )
     elif args.cmd == "bench-rpn":
         from det3d_tpu.deploy.rpn_bench import bench_rpn
 
