@@ -117,6 +117,9 @@ class Config:
     #                                  skipping s2d canvas scatter kernel — empty
     #                                  sub-tile row ranges skip their one-hot matmuls
     #                                  (large-grid lever; see kernels/scatter_pallas)
+    fused_adam: bool = False         # optimizer update over ONE flattened param
+    #                                  vector (optax.flatten) instead of ~60 small
+    #                                  per-tensor fusions — train-step remainder A/B
 
     # ---- derived (reference: framework/voxel_generator.py:7-15) ----
     detection_range: tuple[float, ...] = ()
@@ -259,6 +262,7 @@ def load_config(path: str | Path | dict, **overrides: Any) -> Config:
         pack_w=bool(get("pack_w", True)),
         fuse_in_stats=bool(get("fuse_in_stats", True)),
         scatter_subtile=int(get("scatter_subtile", 0)),
+        fused_adam=bool(get("fused_adam", False)),
     )
     cfg = _with_derived(cfg)
     # The feature map is ALWAYS the voxel grid at half resolution: the shared

@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--scatter-subtile", type=int, default=None,
                     help="override cfg.scatter_subtile (0 = dense-tile s2d "
                     "kernel, 128 = sub-tile-skipping variant)")
+    ap.add_argument("--fused-adam", type=int, default=None,
+                    help="override cfg.fused_adam (1 = single flattened-"
+                    "vector Adam update, optimizer-remainder A/B)")
     args = ap.parse_args()
 
     import jax
@@ -49,6 +52,8 @@ def main() -> None:
         overrides["pack_w"] = bool(args.pack_w)
     if args.scatter_subtile is not None:
         overrides["scatter_subtile"] = args.scatter_subtile
+    if args.fused_adam is not None:
+        overrides["fused_adam"] = bool(args.fused_adam)
     cfg = load_config(args.config, max_points=120_000, batch_size=args.batch,
                       **overrides)
     trainer = Trainer(cfg)
