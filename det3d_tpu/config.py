@@ -120,6 +120,9 @@ class Config:
     fused_adam: bool = False         # optimizer update over ONE flattened param
     #                                  vector (optax.flatten) instead of ~60 small
     #                                  per-tensor fusions — train-step remainder A/B
+    matcher_skip: bool = False       # Pallas target matcher skips fully-masked
+    #                                  anchor tiles (scalar-prefetched occupancy
+    #                                  flags; bit-identical outputs) — train A/B
 
     # ---- derived (reference: framework/voxel_generator.py:7-15) ----
     detection_range: tuple[float, ...] = ()
@@ -263,6 +266,7 @@ def load_config(path: str | Path | dict, **overrides: Any) -> Config:
         fuse_in_stats=bool(get("fuse_in_stats", True)),
         scatter_subtile=int(get("scatter_subtile", 0)),
         fused_adam=bool(get("fused_adam", False)),
+        matcher_skip=bool(get("matcher_skip", False)),
     )
     cfg = _with_derived(cfg)
     # The feature map is ALWAYS the voxel grid at half resolution: the shared

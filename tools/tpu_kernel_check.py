@@ -155,6 +155,25 @@ def main() -> None:
     jax.block_until_ready((lab, tgt, wts, dirs))
     print("assign_class_pallas: OK  pos=", int((np.asarray(lab) > 0).sum()))
 
+    # --- tile-skipping matcher (Config.matcher_skip): scalar-prefetched
+    # occupancy flags + pl.when-predicated IoU passes must lower on Mosaic;
+    # outputs must equal the dense kernel with tiles empty + occupied mixed ---
+    mask_np = np.zeros(ac, bool)
+    mask_np[: ac // 2] = np.asarray(r.rand(ac // 2) < 0.3)  # back half empty
+    mask_sk = jnp.asarray(mask_np)
+    dense = assign_class_pallas(
+        jnp.asarray(anchors), abv, mask_sk, jnp.asarray(gt),
+        jnp.asarray(gt_valid), 0.6, 0.45,
+    )
+    skip = assign_class_pallas(
+        jnp.asarray(anchors), abv, mask_sk, jnp.asarray(gt),
+        jnp.asarray(gt_valid), 0.6, 0.45, skip_empty=True,
+    )
+    jax.block_until_ready(skip)
+    for d_arr, s_arr in zip(dense, skip):
+        np.testing.assert_array_equal(np.asarray(d_arr), np.asarray(s_arr))
+    print("assign_class_pallas skip_empty: OK (bit-identical to dense)")
+
     # --- NMS kernel at production shape --------------------------------------
     from det3d_tpu.kernels.nms_pallas import greedy_nms_pallas
 
