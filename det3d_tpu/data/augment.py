@@ -295,6 +295,15 @@ def global_translate(gt_boxes, points, rng, std=(0.25, 0.25, 0.25)):
 # params (host numpy above ↔ device jnp below).
 # ---------------------------------------------------------------------------
 
+# Bounds the dataset's conservative host-side radius pre-filter relies on
+# (GenericDataset with device_global_augment: a box whose nearest corner
+# radius exceeds (rmax + GLOBAL_TRANSLATE_BOUND) / GLOBAL_SCALE_MIN can never
+# re-enter the detection range). The device translate draw is clipped to
+# ±GLOBAL_TRANSLATE_BOUND (8 sigma of the 0.25 std — distributionally a
+# no-op) so the invariant holds by construction, not just almost surely.
+GLOBAL_SCALE_MIN = 0.9
+GLOBAL_TRANSLATE_BOUND = 2.0
+
 
 def sample_global_augment_params(key):
     """Sample the global-augmentation parameter pytree with a jax PRNG key.
@@ -302,7 +311,8 @@ def sample_global_augment_params(key):
     Distributions mirror the host chain / reference exactly
     (framework/augmentation.py:9-89): flip p=0.5; pitch ±4°, roll ±2°,
     yaw ±30°; scale x,y ~ U(0.9,1.1), z ~ U(0.95,1.05); translate
-    N(0, 0.25) per axis."""
+    N(0, 0.25) per axis, clipped to ±GLOBAL_TRANSLATE_BOUND (8 sigma) so the
+    dataset's radius pre-filter bound is exact."""
     import jax
     import jax.numpy as jnp
 
@@ -320,7 +330,11 @@ def sample_global_augment_params(key):
                 jax.random.uniform(ksz, minval=0.95, maxval=1.05),
             ]
         ),
-        "translate": 0.25 * jax.random.normal(kt, (3,)),
+        "translate": jnp.clip(
+            0.25 * jax.random.normal(kt, (3,)),
+            -GLOBAL_TRANSLATE_BOUND,
+            GLOBAL_TRANSLATE_BOUND,
+        ),
     }
 
 

@@ -136,9 +136,11 @@ class DetectionDataset:
         # (Trainer._device_augment_one). A conservative radius pre-filter
         # still runs so certainly-unreachable boxes don't occupy the fixed
         # max_gt_boxes slots (host_batch truncates): the global transforms
-        # shrink a corner radius by at most scale 0.9 and translation ~2 m
-        # (flip/rotation preserve radius), so any box whose nearest corner
-        # radius exceeds (sqrt2-corner radius + 2)/0.9 can never re-enter.
+        # shrink a corner radius by at most GLOBAL_SCALE_MIN and a translation
+        # clipped to GLOBAL_TRANSLATE_BOUND (flip/rotation preserve radius),
+        # so a box whose nearest corner radius exceeds
+        # (rmax + bound)/scale_min can never re-enter — exact by construction
+        # (augment.sample_global_augment_params clips the translate draw).
         if self.augment and self.device_global_augment:
             dr = np.asarray(self.cfg.detection_range)
             rmax = float(np.hypot(np.abs(dr[[0, 3]]).max(), np.abs(dr[[1, 4]]).max()))
@@ -146,7 +148,7 @@ class DetectionDataset:
                 gt_boxes[:, [0, 1, 3, 4, 6]].astype(np.float64)
             )
             rmin = np.hypot(corners[..., 0], corners[..., 1]).min(axis=1)
-            keep = rmin <= (rmax + 2.0) / 0.9
+            keep = rmin <= (rmax + agm.GLOBAL_TRANSLATE_BOUND) / agm.GLOBAL_SCALE_MIN
             gt_boxes = gt_boxes[keep]
             gt_classes = gt_classes[keep]
         else:

@@ -36,17 +36,27 @@ def _device_time_ms(fn, inputs) -> float:
     import json
     import tempfile
 
-    trace_dir = tempfile.mkdtemp(prefix="rpn-bench-trace-")
-    jax.profiler.start_trace(trace_dir)
-    out = None
-    for x in inputs:
-        out = fn(x)
-    jax.block_until_ready(out)
-    jax.profiler.stop_trace()
+    import shutil
 
-    path = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))[-1]
-    with gzip.open(path) as f:
-        t = json.load(f)
+    trace_dir = tempfile.mkdtemp(prefix="rpn-bench-trace-")
+    try:
+        jax.profiler.start_trace(trace_dir)
+        out = None
+        for x in inputs:
+            out = fn(x)
+        jax.block_until_ready(out)
+        jax.profiler.stop_trace()
+
+        traces = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
+        if not traces:
+            raise RuntimeError(
+                "jax.profiler produced no trace file (profiler plugin missing "
+                f"or failed on this backend?) — nothing under {trace_dir}"
+            )
+        with gzip.open(traces[-1]) as f:
+            t = json.load(f)
+    finally:
+        shutil.rmtree(trace_dir, ignore_errors=True)
     events = t["traceEvents"]
     pids = {
         e["pid"]: e["args"].get("name", "")

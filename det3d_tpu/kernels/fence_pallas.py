@@ -24,7 +24,13 @@ def _copy_kernel(x_ref, o_ref):
     o_ref[:] = x_ref[:]
 
 
-def _pick_chunk(a: int, cap: int = 256 * 1024) -> int | None:
+# One VMEM chunk budget for both the divisor search and the pad fallback:
+# double-buffered in+out f32 blocks of this many elements (4 MB total) stay
+# well inside the 16 MB scoped-VMEM limit.
+_CHUNK_CAP = 256 * 1024
+
+
+def _pick_chunk(a: int, cap: int = _CHUNK_CAP) -> int | None:
     """Largest 128-multiple divisor of `a` that is ≤ cap (keeps the
     double-buffered in+out blocks well inside the 16 MB scoped-VMEM limit);
     None when no such divisor exists (the caller pads instead — a full-size
@@ -45,7 +51,7 @@ def _fence_impl(x: jax.Array, interpret: bool) -> jax.Array:
     if chunk is None:
         # no 128-multiple divisor ≤ cap: pad the chunked axis instead of
         # falling back to one full-size (possibly tens-of-MB) VMEM block
-        chunk = min(128 * 1024, -(-a // 128) * 128)
+        chunk = min(_CHUNK_CAP, -(-a // 128) * 128)
         apad = -(-a // chunk) * chunk
     # dummy middle dim: Mosaic requires the last two BLOCK dims be
     # (8, 128)-divisible or full-size; (1, 1, 1, chunk) blocks of a

@@ -94,12 +94,6 @@ def _use_approx(params: PostProcessParams) -> bool:
     return approx
 
 
-def _topk(scores: jax.Array, k: int, params: PostProcessParams):
-    if _use_approx(params) and k < scores.shape[-1]:
-        return _bucketed_topk(scores, k)
-    return jax.lax.top_k(scores, k)
-
-
 def _row_bucket_size(fy: int, n: int, k: int) -> int:
     """Largest bucket size ≤ n/(16k) that divides the row length fy, so each
     bucket is a contiguous chunk of one (lane-dim) row: the bucket max/argmax

@@ -232,10 +232,21 @@ class InteractiveViewer:
         import matplotlib
         import matplotlib.pyplot as plt
 
-        if matplotlib.get_backend().lower() == "agg":
+        backend = matplotlib.get_backend()
+        try:
+            from matplotlib.backends import backend_registry
+
+            gui = backend_registry.resolve_backend(backend)[1]
+            interactive = gui not in (None, "headless")
+        except Exception:
+            # older matplotlib: fall back to the canvas capability probe
+            interactive = self.fig.canvas.manager is not None and hasattr(
+                self.fig.canvas.manager, "show"
+            )
+        if not interactive or backend.lower() == "agg":
             raise RuntimeError(
-                "interactive viewing needs a GUI matplotlib backend (Agg is "
-                "headless) — set MPLBACKEND/DISPLAY, or use the batch "
-                "exporter: cli view --frames a:b --out DIR"
+                f"interactive viewing needs a GUI matplotlib backend "
+                f"({backend} is non-interactive) — set MPLBACKEND/DISPLAY, or "
+                "use the batch exporter: cli view --frames a:b --out DIR"
             )
         plt.show()

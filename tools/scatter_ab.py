@@ -58,7 +58,6 @@ def main() -> None:
 
     from det3d_tpu.kernels.scatter_pallas import scatter_to_bev_s2d_pallas
 
-    r = np.random.RandomState(0)
     g, v, c, b = args.grid, args.cap, args.channels, args.batch
     n_inputs = 6
     inputs = []
