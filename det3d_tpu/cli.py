@@ -20,6 +20,7 @@ serve→ros_node.py, create-info→create_info.py, bench-rpn→rpn_builder.py.
 from __future__ import annotations
 
 import argparse
+from pathlib import Path
 
 from det3d_tpu.config import load_config
 
@@ -137,6 +138,24 @@ def main(argv: list[str] | None = None) -> None:
     add_common(p)
     p.add_argument("--iters", type=int, default=100)
 
+    p = sub.add_parser(
+        "tune",
+        help="A/B the config-gated perf levers on the live backend and write "
+        "a tuned config (TPU-native analogue of TensorRT's build-time tactic "
+        "tuning, reference rpn_builder.py:108-130)",
+    )
+    add_common(p)
+    p.add_argument("--out", default=None, help="tuned JSON path (default: <config>_tuned.json)")
+    p.add_argument("--mode", choices=("infer", "train", "both"), default="both")
+    p.add_argument("--iters", type=int, default=32, help="inference window length")
+    p.add_argument("--train-iters", type=int, default=12)
+    p.add_argument("--batch-size", type=int, default=2, help="train-step batch")
+    p.add_argument("--margin", type=float, default=0.02,
+                   help="relative win required to adopt a lever flip")
+    p.add_argument("--levers", default=None,
+                   help="comma-separated lever subset (default: all)")
+    p.add_argument("--report", default=None, help="also dump the trial report as JSON")
+
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -245,6 +264,35 @@ def main(argv: list[str] | None = None) -> None:
         from det3d_tpu.deploy.rpn_bench import bench_rpn
 
         bench_rpn(cfg, iters=args.iters)
+    elif args.cmd == "tune":
+        import jax
+
+        # each lever flip recompiles; the persistent cache makes re-tunes
+        # cheap. TPU only: XLA:CPU AOT artifacts are keyed by compile-machine
+        # features and loading another host's triggers SIGILL hazards
+        # (same reason __graft_entry__ uses a throwaway CPU cache dir).
+        if jax.default_backend() == "tpu":
+            try:
+                jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+            except Exception:
+                pass
+        from det3d_tpu.tune import tune
+
+        report = tune(
+            args.config,
+            out_path=args.out,
+            mode=args.mode,
+            infer_iters=args.iters,
+            train_iters=args.train_iters,
+            batch_size=args.batch_size,
+            margin=args.margin,
+            only_levers=tuple(args.levers.split(",")) if args.levers else None,
+        )
+        if args.report:
+            import json as _json
+
+            Path(args.report).write_text(_json.dumps(report, indent=1) + "\n")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,71 @@
+"""Autotuner (det3d_tpu/tune.py): the lever A/B harness must measure, pick,
+and write a loadable tuned config. The levers themselves are semantics-
+preserving (equality tests live in test_model/test_targets/test_train_overfit);
+this validates the SEARCH machinery on the CPU backend with a tiny geometry.
+"""
+
+import json
+
+import pytest
+
+from det3d_tpu.config import load_config
+
+TINY = {
+    "detection_range": [-16.0, -16.0, -2.5, 16.0, 16.0, 8.5],
+    "center_limit": [-16.0, -16.0, -10.0, 16.0, 16.0, 10.0],
+    "voxel_size": [1.0, 1.0, 11.0],
+    "max_voxels": 256,
+    "max_num_points": 5,
+    "max_points": 2048,
+    "max_gt_boxes": 8,
+    "compute_dtype": "float32",
+}
+
+
+@pytest.fixture(scope="module")
+def tuned(tmp_path_factory):
+    from det3d_tpu.tune import tune
+
+    tmp = tmp_path_factory.mktemp("tune")
+    cfg_path = tmp / "tiny.json"
+    cfg_path.write_text(json.dumps(TINY))
+    out_path = tmp / "tiny_tuned.json"
+    report = tune(
+        str(cfg_path),
+        out_path=str(out_path),
+        mode="both",
+        infer_iters=2,
+        train_iters=1,
+        batch_size=1,
+        # one infer-side lever + one train-side lever keeps the test at four
+        # tiny compiles; the others use identical machinery
+        only_levers=("pack_w", "fused_adam"),
+    )
+    return report, out_path
+
+
+def test_report_covers_both_modes(tuned):
+    report, _ = tuned
+    assert set(report["modes"]) == {"infer", "train"}
+    for mode in report["modes"].values():
+        assert mode["final_ms"] > 0
+        assert len(mode["trials"]) >= 2  # baseline + at least one flip
+        assert mode["final_ms"] == min(t["ms"] for t in mode["trials"])
+
+
+def test_tuned_config_loads_and_carries_choices(tuned):
+    report, out_path = tuned
+    cfg = load_config(str(out_path))
+    for lever, value in report["chosen"].items():
+        assert getattr(cfg, lever) == value
+    # untouched keys survive the round-trip
+    assert cfg.max_voxels == TINY["max_voxels"]
+
+
+def test_tpu_only_levers_skipped_on_cpu(tuned):
+    report, _ = tuned
+    # matcher_skip / scatter_subtile are Pallas-path levers: with the full
+    # lever set they'd be recorded as skipped on CPU; with the restricted
+    # set nothing TPU-only was requested, so no spurious measurements ran
+    measured = {k for m in report["modes"].values() for t in m["trials"] for k in t["levers"]}
+    assert measured <= {"pack_w", "fused_adam"}
