@@ -24,18 +24,7 @@ import time
 import numpy as np
 
 
-def synthetic_cloud(max_points: int, n: int, seed: int = 0) -> np.ndarray:
-    """LiDAR-like synthetic frame: range-decayed radial density + ground
-    plane + scattered verticals."""
-    r = np.random.RandomState(seed)
-    pts = np.zeros((max_points, 4), np.float32)
-    dist = np.abs(r.randn(n)) * 25.0 + 2.0
-    theta = r.uniform(-np.pi, np.pi, n)
-    pts[:n, 0] = dist * np.cos(theta)
-    pts[:n, 1] = dist * np.sin(theta)
-    pts[:n, 2] = np.where(r.rand(n) < 0.7, r.uniform(-2.0, -1.5, n), r.uniform(-1.5, 4.0, n))
-    pts[:n, 3] = r.uniform(0, 1, n)
-    return pts
+from det3d_tpu.data.synthetic import synthetic_cloud  # shared with `cli tune`
 
 
 def measure(config_path: str, iters: int) -> dict:

@@ -288,6 +288,7 @@ def main(argv: list[str] | None = None) -> None:
             batch_size=args.batch_size,
             margin=args.margin,
             only_levers=tuple(args.levers.split(",")) if args.levers else None,
+            config_overrides=overrides,  # honors --max-points
         )
         if args.report:
             import json as _json

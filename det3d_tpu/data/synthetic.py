@@ -98,6 +98,22 @@ def sample_scene(
     }
 
 
+def synthetic_cloud(max_points: int, n: int, seed: int = 0) -> np.ndarray:
+    """LiDAR-like benchmark frame: range-decayed radial density + ground
+    plane + scattered verticals. This is THE benchmark workload — bench.py
+    and `cli tune` must time the same pillar-occupancy distribution (the
+    scatter levers' wins are occupancy-dependent)."""
+    r = np.random.RandomState(seed)
+    pts = np.zeros((max_points, 4), np.float32)
+    dist = np.abs(r.randn(n)) * 25.0 + 2.0
+    theta = r.uniform(-np.pi, np.pi, n)
+    pts[:n, 0] = dist * np.cos(theta)
+    pts[:n, 1] = dist * np.sin(theta)
+    pts[:n, 2] = np.where(r.rand(n) < 0.7, r.uniform(-2.0, -1.5, n), r.uniform(-1.5, 4.0, n))
+    pts[:n, 3] = r.uniform(0, 1, n)
+    return pts
+
+
 def scene_to_annos(sample: dict, cfg: Config) -> dict:
     """Ground truth of a synthetic scene in the eval annos format."""
     names = np.array(

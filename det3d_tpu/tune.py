@@ -61,19 +61,14 @@ LEVERS = (
 
 
 def _infer_inputs(cfg: Config, num_clouds: int = 6):
-    """Distinct realistic clouds (the relay dedupes identical buffers)."""
-    from det3d_tpu.data.synthetic import sample_scene
+    """Distinct clouds (the relay dedupes identical buffers) with bench.py's
+    EXACT workload recipe — the scatter levers' wins are pillar-occupancy-
+    dependent, so tuning on a lighter cloud would pick wrong."""
+    from det3d_tpu.data.synthetic import synthetic_cloud
 
-    rng = np.random.RandomState(0)
-    clouds, counts = [], []
-    for _ in range(num_clouds):
-        pts = sample_scene(cfg, rng)["points"]
-        n = min(len(pts), cfg.max_points)
-        buf = np.zeros((cfg.max_points, cfg.num_point_features), np.float32)
-        buf[:n] = pts[:n, : cfg.num_point_features]
-        clouds.append(buf)
-        counts.append(n)
-    return clouds, int(min(counts))
+    n = min(100_000, cfg.max_points)
+    clouds = [synthetic_cloud(cfg.max_points, n, seed=s) for s in range(num_clouds)]
+    return clouds, n
 
 
 def measure_infer(cfg: Config, iters: int, windows: int = 3) -> float:
@@ -137,26 +132,44 @@ def tune(
     batch_size: int = 2,
     margin: float = 0.02,
     only_levers: tuple[str, ...] | None = None,
+    config_overrides: dict | None = None,
 ) -> dict:
-    """Greedy per-mode lever search; writes the tuned JSON, returns a report."""
+    """Greedy per-mode lever search; writes the tuned JSON, returns a report.
+
+    A lever shared by both modes is DECIDED by the first mode that measures
+    it (inference — the flagship serving path); later modes inherit the
+    decision instead of re-measuring, so a flip rejected for inference can
+    never sneak into the single tuned config through the train step.
+    """
     import jax
 
+    known = {name for name, _, _, _ in LEVERS}
+    if only_levers is not None:
+        only_levers = tuple(s.strip() for s in only_levers)
+        unknown = set(only_levers) - known
+        if unknown:
+            raise ValueError(f"unknown lever(s) {sorted(unknown)}; known: {sorted(known)}")
+
     on_tpu = jax.default_backend() == "tpu"
-    raw = json.loads(json.dumps(_loads(config_path)))  # private copy
+    raw = _loads(config_path)
     chosen: dict[str, object] = {}
+    decided: set[str] = set()
     report: dict = {"backend": jax.default_backend(), "config": str(config_path),
                     "modes": {}, "chosen": chosen, "skipped": []}
 
-    def build_cfg(extra: dict) -> Config:
-        cfg = load_config(dict(raw), batch_size=batch_size, **{**chosen, **extra})
-        if cfg.compute_dtype != "float32" and not on_tpu:
-            # XLA:CPU has no bf16 dot kernel (cli.py train does the same)
+    def build_cfg(extra: dict, train: bool) -> Config:
+        cfg = load_config(dict(raw), batch_size=batch_size,
+                          **{**(config_overrides or {}), **chosen, **extra})
+        if train and cfg.compute_dtype != "float32" and not on_tpu:
+            # XLA:CPU has no bf16 dot kernel, which only the TRAIN step hits
+            # (cli.py train does the same promotion); inference keeps the
+            # configured dtype — it must be timed as deployed
             cfg = cfg.replace(compute_dtype="float32")
         return cfg
 
     for mode_name, measure, iters in (
-        ("infer", lambda e: measure_infer(build_cfg(e), infer_iters), infer_iters),
-        ("train", lambda e: measure_train(build_cfg(e), train_iters), train_iters),
+        ("infer", lambda e: measure_infer(build_cfg(e, False), infer_iters), infer_iters),
+        ("train", lambda e: measure_train(build_cfg(e, True), train_iters), train_iters),
     ):
         if mode not in (mode_name, "both"):
             continue
@@ -170,14 +183,16 @@ def tune(
                 continue
             if only_levers is not None and lever not in only_levers:
                 continue
-            if lever in chosen:  # already decided by an earlier mode
+            if lever in decided:  # adopted OR rejected by an earlier mode
                 continue
             if needs_tpu and not on_tpu:
-                report["skipped"].append(
-                    {"lever": lever, "reason": "Pallas-path lever, inert on "
-                     + jax.default_backend()})
+                if not any(s["lever"] == lever for s in report["skipped"]):
+                    report["skipped"].append(
+                        {"lever": lever, "reason": "Pallas-path lever, inert on "
+                         + jax.default_backend()})
                 continue
-            current = getattr(build_cfg({}), lever)
+            decided.add(lever)
+            current = getattr(build_cfg({}, mode_name == "train"), lever)
             for cand in candidates:
                 if cand == current:
                     continue

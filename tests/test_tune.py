@@ -50,7 +50,9 @@ def test_report_covers_both_modes(tuned):
     for mode in report["modes"].values():
         assert mode["final_ms"] > 0
         assert len(mode["trials"]) >= 2  # baseline + at least one flip
-        assert mode["final_ms"] == min(t["ms"] for t in mode["trials"])
+        # greedy never adopts a slower flip (a faster-but-within-margin trial
+        # may legitimately beat final_ms without being adopted)
+        assert mode["final_ms"] <= mode["trials"][0]["ms"]
 
 
 def test_tuned_config_loads_and_carries_choices(tuned):

@@ -88,9 +88,9 @@ def analytic_table(cfg, batch: int) -> None:
         ("s2d one-hot scatter", 2 * p * 128 * c4, p * c4 * 2 + nrows * c4 * 2)
     )
 
-    # RPN trunk convs on the s2d canvas (H, W = grid/2), NHWC 3x3
+    # RPN trunk convs on the s2d canvas (H, W = grid/2), NHWC 3x3;
+    # the entry conv consumes the 4·64 = 256 s2d-packed channels
     h, w = nx // 2, ny // 2
-    cin = c4 // 4 * 4  # entry sees 256 packed channels as 4*64
     hh, ww, ci = h, w, 256
     for bi, (depth, width, ustride, uwidth) in enumerate(
         zip(rpn.layer_nums, rpn.num_filters, rpn.upsample_strides, rpn.num_upsample_filters)
@@ -125,7 +125,7 @@ def analytic_table(cfg, batch: int) -> None:
     # head: one dot over the 320-ch neck stack → per-anchor channels
     nup = sum(rpn.num_upsample_filters)
     fx, fy = cfg.class_specs[0].feature_map_size[:2]
-    nch = 90  # 10 anchors/loc × (1 cls + 7 box + 2 dir) at the ntusl specs
+    nch = 90  # 9 anchors/loc × (1 cls + 7 box + 2 dir) at the ntusl specs
     rows.append(
         ("head dot (nup→90)", 2 * fx * fy * nup * nch, (fx * fy * (nup + nch)) * 2)
     )
