@@ -128,6 +128,15 @@ def main(argv: list[str] | None = None) -> None:
         "GUI matplotlib backend)",
     )
 
+    p = sub.add_parser(
+        "import-weights",
+        help="convert a reference PyTorch .pth checkpoint (train.py:117-127 "
+        "layout) into a framework checkpoint dir usable by infer/serve/export",
+    )
+    add_common(p)
+    p.add_argument("--torch-ckpt", required=True, help="reference .pth file")
+    p.add_argument("--out", required=True, help="framework model_dir to write")
+
     p = sub.add_parser("create-info", help="dataset indexer (reference create_info.py)")
     p.add_argument("--root", required=True)
     p.add_argument("--out", default=None)
@@ -264,6 +273,12 @@ def main(argv: list[str] | None = None) -> None:
         from det3d_tpu.deploy.rpn_bench import bench_rpn
 
         bench_rpn(cfg, iters=args.iters)
+    elif args.cmd == "import-weights":
+        from det3d_tpu.deploy.torch_import import import_torch_checkpoint
+
+        step = import_torch_checkpoint(args.torch_ckpt, cfg, args.out)
+        print(f"imported step {step}: {args.torch_ckpt} -> {args.out} "
+              "(restore with --checkpoint)")
     elif args.cmd == "tune":
         import jax
 

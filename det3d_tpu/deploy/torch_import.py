@@ -1,0 +1,178 @@
+"""Import a reference PyTorch checkpoint into this framework.
+
+Migration path for users of the reference `1005088h/3d_object_detection`:
+their training runs save `{'step', 'model_state_dict', 'optimizer_state_dict'}`
+(reference train.py:117-127); this module converts the model weights into the
+Flax parameter tree and writes a framework checkpoint that every entry point
+(`cli infer/serve/export --checkpoint`) restores directly.
+
+The Flax modules were designed parameter-compatible with the torch layout
+(see DeconvUpsample / RPN / SharedHead docstrings in models/pointpillars.py):
+kernels are stored in canonical nn.Dense/nn.Conv shapes and every TPU-side
+rearrangement (w-parity packing, [k][anchor] head permutation) happens
+weight-side at apply time, so a converted checkpoint is exact — the weights-
+transplant parity suite (tests/test_reference_parity.py) asserts forward
+agreement with the torch network to atol 2e-4 *through this module*.
+
+Optimizer state is NOT imported: the reference's torch Adam moments live in
+torch parameter order with torch-layout tensors; a resumed run re-warms Adam
+from zero (the reference's own lr-override-on-restore workflow,
+train.py:73-76, tolerates exactly this kind of restart).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor (any device) or array-like → private numpy copy."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.array(t, copy=True)
+
+
+def _conv_k(w) -> np.ndarray:
+    """torch Conv2d OIHW → flax HWIO."""
+    return _np(w).transpose(2, 3, 1, 0)
+
+
+def _dense_k(w) -> np.ndarray:
+    """torch Conv1d/Conv2d 1x1 (O, I, 1[, 1]) → nn.Dense (I, O)."""
+    w = _np(w)
+    return w.reshape(w.shape[0], w.shape[1]).T
+
+
+def _deconv_k(w) -> np.ndarray:
+    """ConvTranspose2d (I, O, S, S) → DeconvUpsample (S, S, I, O).
+
+    out[s·i+p, s·j+q, o] = Σc in[i,j,c]·W[c,o,p,q]; DeconvUpsample reads
+    kernel[s-1-p, s-1-q, c, o] at that tap → flip both spatial axes."""
+    return np.flip(_np(w).transpose(2, 3, 0, 1), (0, 1)).copy()
+
+
+def state_dict_to_variables(sd: dict, layer_nums: tuple[int, ...] = (2, 4, 4)) -> dict:
+    """Reference `net.state_dict()` → `{"params", "batch_stats"}` numpy trees.
+
+    `layer_nums` mirrors RPN.layer_nums; the reference block Sequential is
+    [conv, IN, relu, Resnet2(1)×(d//2), Resnet2(0)] where Resnet2(1).conv_block
+    holds convs at indices 2 and 5 and Resnet2(0).conv_block at index 2
+    (reference networks/pointpillars8_shared.py:114-181)."""
+    missing = [k for k in ("pillar_point_net.pfn_layers.0.weight",
+                           "heads.conv_cls.weight", "rpn.block1.0.weight")
+               if k not in sd]
+    if missing:
+        raise KeyError(
+            f"state_dict lacks reference keys {missing} — is this a "
+            "model_state_dict from the reference PointPillars trainer?")
+
+    rpn = {}
+    for b, depth in enumerate(layer_nums, start=1):
+        rpn[f"block{b - 1}_down"] = {"kernel": _conv_k(sd[f"rpn.block{b}.0.weight"])}
+        n_full = depth // 2
+        units = [(3 + u, 2) for u in range(n_full)] + [(3 + n_full, 1)]
+        for u, (seq_idx, n_convs) in enumerate(units):
+            convs = {}
+            for i in range(n_convs):
+                w = sd[f"rpn.block{b}.{seq_idx}.conv_block.{2 + 3 * i}.weight"]
+                convs[f"conv{i}"] = {"kernel": _conv_k(w)}
+            rpn[f"block{b - 1}_res{u}"] = convs
+    # deconv1 is ConvTranspose k=1 s=1 ≡ 1x1 conv with W[i,o] = Wt[i,o,0,0]
+    w = _np(sd["rpn.deconv1.0.weight"])
+    rpn["deconv0"] = {"kernel": w.transpose(2, 3, 0, 1)}
+    rpn["deconv1"] = {"kernel": _deconv_k(sd["rpn.deconv2.0.weight"])}
+    rpn["deconv2"] = {"kernel": _deconv_k(sd["rpn.deconv3.0.weight"])}
+
+    params = {
+        "pfn": {
+            "pfn_dense": {"kernel": _dense_k(sd["pillar_point_net.pfn_layers.0.weight"])},
+            "pfn_bn": {
+                "scale": _np(sd["pillar_point_net.pfn_layers.1.weight"]),
+                "bias": _np(sd["pillar_point_net.pfn_layers.1.bias"]),
+            },
+        },
+        "rpn": rpn,
+        "head": {
+            name: {
+                "kernel": _dense_k(sd[f"heads.{name}.weight"]),
+                "bias": _np(sd[f"heads.{name}.bias"]),
+            }
+            for name in ("conv_cls", "conv_box", "conv_dir")
+        },
+    }
+    batch_stats = {
+        "pfn": {
+            "pfn_bn": {
+                "mean": _np(sd["pillar_point_net.pfn_layers.1.running_mean"]),
+                "var": _np(sd["pillar_point_net.pfn_layers.1.running_var"]),
+            }
+        }
+    }
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def load_reference_checkpoint(path: str | Path) -> tuple[dict, int]:
+    """Read a reference .pth file → (model state_dict, step).
+
+    Accepts both the trainer's full dict (train.py:117-127) and a bare
+    `net.state_dict()`."""
+    try:
+        import torch
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("importing a .pth checkpoint requires torch "
+                          "(CPU build is sufficient)") from e
+    try:
+        ckpt = torch.load(str(path), map_location="cpu", weights_only=True)
+    except Exception:
+        # older reference checkpoints can carry non-tensor pickle objects in
+        # optimizer_state_dict; fall back to a full unpickle (user's own file)
+        ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
+        return ckpt["model_state_dict"], int(ckpt.get("step", 0))
+    return ckpt, 0
+
+
+def import_torch_checkpoint(ckpt_path: str | Path, cfg, model_dir: str | Path) -> int:
+    """Convert a reference checkpoint into `model_dir` (framework layout).
+
+    Returns the imported step. The result restores through
+    `CheckpointManager.restore_latest` like any native checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from det3d_tpu.train.checkpoint import CheckpointManager
+    from det3d_tpu.train.trainer import Trainer
+
+    sd, step = load_reference_checkpoint(ckpt_path)
+    imported = state_dict_to_variables(sd)
+
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    # the imported trees must match the model's exactly — a geometry/config
+    # mismatch should fail loudly here, not as NaNs at inference
+    def check_and_cast(template_tree, new_tree, label):
+        t_paths = {jax.tree_util.keystr(p): v.shape
+                   for p, v in jax.tree_util.tree_leaves_with_path(template_tree)}
+        n_paths = {jax.tree_util.keystr(p): v.shape
+                   for p, v in jax.tree_util.tree_leaves_with_path(new_tree)}
+        if t_paths.keys() != n_paths.keys():
+            only_t = sorted(t_paths.keys() - n_paths.keys())
+            only_n = sorted(n_paths.keys() - t_paths.keys())
+            raise ValueError(f"{label} tree mismatch: model-only {only_t}, "
+                             f"checkpoint-only {only_n}")
+        bad = [(k, t_paths[k], n_paths[k]) for k in t_paths if t_paths[k] != n_paths[k]]
+        if bad:
+            raise ValueError(f"{label} shape mismatch (model vs checkpoint): {bad} "
+                             "— wrong --config for this .pth?")
+        return jax.tree.map(lambda t, n: jnp.asarray(n, t.dtype), template_tree, new_tree)
+
+    state = state._replace(
+        step=jnp.asarray(step, jnp.int32),
+        params=check_and_cast(state.params, imported["params"], "params"),
+        batch_stats=check_and_cast(state.batch_stats, imported["batch_stats"], "batch_stats"),
+    )
+    CheckpointManager(model_dir).save(state)
+    return step

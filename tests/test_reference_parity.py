@@ -91,88 +91,18 @@ def _make_torch_model(ref_net, cfg, seed=0):
     return net
 
 
-def _conv_k(w: torch.Tensor) -> np.ndarray:
-    """torch Conv2d OIHW → flax HWIO."""
-    return w.detach().numpy().transpose(2, 3, 1, 0)
-
-
 def _transplant(net) -> dict:
-    """Copy the torch reference parameters into the Flax variables tree.
+    """Copy the torch reference parameters into the Flax variables tree via
+    the PRODUCT converter (deploy/torch_import.py — the `cli import-weights`
+    path), so every parity assertion below also validates the migration tool.
 
-    The Flax modules were designed parameter-compatible (see DeconvUpsample /
-    RPN docstrings); this function is the executable statement of that
-    mapping."""
-    sd = {k: v.detach() for k, v in net.state_dict().items()}
+    copy semantics: state_dict_to_variables deep-copies into numpy, so
+    torch's in-place running-stat updates during a later net(example) cannot
+    mutate the transplanted arrays."""
+    from det3d_tpu.deploy.torch_import import state_dict_to_variables
 
-    def dense_k(w):  # torch Conv1d/Conv2d 1x1 (O, I, 1[, 1]) → (I, O)
-        w = w.detach().numpy()
-        return w.reshape(w.shape[0], w.shape[1]).T
-
-    def deconv_k(w):  # ConvTranspose2d (I, O, S, S) → DeconvUpsample (S, S, I, O)
-        # out[s*i+p, s*j+q, o] = Σc in[i,j,c]·W[c,o,p,q]; DeconvUpsample
-        # computes kernel[s-1-p, s-1-q, c, o] at that tap → flip both spatials
-        return np.flip(w.detach().numpy().transpose(2, 3, 0, 1), (0, 1)).copy()
-
-    rpn = {}
-    # block Sequential layout: [conv, IN, relu, Resnet2(1)…, Resnet2(0)]
-    # Resnet2(1).conv_block = [IN, relu, conv, IN, relu, conv] → convs at 2, 5
-    # Resnet2(0).conv_block = [IN, relu, conv] → conv at 2
-    block_units = {1: [(3, 2)], 2: [(3, 2), (4, 2)], 3: [(3, 2), (4, 2)]}
-    for b in (1, 2, 3):
-        rpn[f"block{b - 1}_down"] = {"kernel": _conv_k(sd[f"rpn.block{b}.0.weight"])}
-        units = block_units[b] + [(max(u for u, _ in block_units[b]) + 1, 1)]
-        for u, (seq_idx, n_convs) in enumerate(units):
-            convs = {}
-            for i in range(n_convs):
-                w = sd[f"rpn.block{b}.{seq_idx}.conv_block.{2 + 3 * i}.weight"]
-                convs[f"conv{i}"] = {"kernel": _conv_k(w)}
-            rpn[f"block{b - 1}_res{u}"] = convs
-    # deconv1 is ConvTranspose k=1 s=1 ≡ 1x1 conv with W[i,o] = Wt[i,o,0,0]
-    w = sd["rpn.deconv1.0.weight"].detach().numpy()
-    rpn["deconv0"] = {"kernel": w.transpose(2, 3, 0, 1)}
-    rpn["deconv1"] = {"kernel": deconv_k(sd["rpn.deconv2.0.weight"])}
-    rpn["deconv2"] = {"kernel": deconv_k(sd["rpn.deconv3.0.weight"])}
-
-    params = {
-        "pfn": {
-            "pfn_dense": {"kernel": dense_k(sd["pillar_point_net.pfn_layers.0.weight"])},
-            "pfn_bn": {
-                "scale": sd["pillar_point_net.pfn_layers.1.weight"].numpy(),
-                "bias": sd["pillar_point_net.pfn_layers.1.bias"].numpy(),
-            },
-        },
-        "rpn": rpn,
-        "head": {
-            "conv_cls": {
-                "kernel": dense_k(sd["heads.conv_cls.weight"]),
-                "bias": sd["heads.conv_cls.bias"].numpy(),
-            },
-            "conv_box": {
-                "kernel": dense_k(sd["heads.conv_box.weight"]),
-                "bias": sd["heads.conv_box.bias"].numpy(),
-            },
-            "conv_dir": {
-                "kernel": dense_k(sd["heads.conv_dir.weight"]),
-                "bias": sd["heads.conv_dir.bias"].numpy(),
-            },
-        },
-    }
-    batch_stats = {
-        "pfn": {
-            "pfn_bn": {
-                "mean": sd["pillar_point_net.pfn_layers.1.running_mean"].numpy(),
-                "var": sd["pillar_point_net.pfn_layers.1.running_var"].numpy(),
-            }
-        }
-    }
-    # copy=True: on the CPU backend jnp.asarray can alias the torch tensor's
-    # memory, and torch's in-place running-stat updates during a later
-    # net(example) would silently mutate the "transplanted" jax arrays
-    to_jax = lambda a: jnp.array(np.array(a, copy=True))  # noqa: E731
-    return {
-        "params": jax.tree.map(to_jax, params),
-        "batch_stats": jax.tree.map(to_jax, batch_stats),
-    }
+    v = state_dict_to_variables({k: t.detach() for k, t in net.state_dict().items()})
+    return jax.tree.map(jnp.asarray, v)
 
 
 def _make_inputs(cfg, n_valid=40, full=False, seed=1):
@@ -266,6 +196,52 @@ class TestModelParity:
                 got = np.asarray(got, np.float32)
             got = got.reshape(got.shape[0], k, -1).transpose(0, 2, 1)
             np.testing.assert_allclose(got, ref_v, atol=2e-4, rtol=1e-4)
+
+    def test_import_weights_checkpoint_roundtrip(self, ref, tmp_path):
+        """`cli import-weights` path end-to-end: a reference-layout .pth
+        (train.py:117-127 dict) converts into a framework checkpoint that
+        restores bit-identical to the direct in-memory transplant."""
+        ref_net, _ = ref
+        cfg = _small_parity_cfg()
+        net = _make_torch_model(ref_net, cfg, seed=7)
+        pth = tmp_path / "latest.pth"
+        torch.save(
+            {"step": 1234, "model_state_dict": net.state_dict(),
+             "optimizer_state_dict": {}},
+            pth,
+        )
+
+        from det3d_tpu.deploy.torch_import import import_torch_checkpoint
+        from det3d_tpu.train.checkpoint import CheckpointManager
+        from det3d_tpu.train.trainer import Trainer
+
+        step = import_torch_checkpoint(pth, cfg, tmp_path / "model")
+        assert step == 1234
+
+        tr = Trainer(cfg)
+        template = tr.init_state(jax.random.PRNGKey(1))
+        state = CheckpointManager(tmp_path / "model").restore_latest(template)
+        assert int(state.step) == 1234
+        want = _transplant(net)
+        for got, exp in zip(
+            jax.tree.leaves({"p": state.params, "b": state.batch_stats}),
+            jax.tree.leaves({"p": want["params"], "b": want["batch_stats"]}),
+        ):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+    def test_import_weights_rejects_wrong_config(self, ref, tmp_path):
+        """A geometry mismatch must fail loudly at import, not at inference."""
+        ref_net, _ = ref
+        cfg = _small_parity_cfg()
+        net = _make_torch_model(ref_net, cfg)
+        pth = tmp_path / "latest.pth"
+        torch.save({"step": 1, "model_state_dict": net.state_dict()}, pth)
+
+        from det3d_tpu.deploy.torch_import import import_torch_checkpoint
+
+        bad_cfg = cfg.replace(num_point_features=5)  # PFN input width differs
+        with pytest.raises(ValueError, match="shape mismatch"):
+            import_torch_checkpoint(pth, bad_cfg, tmp_path / "model2")
 
     def test_batch_stats_update_matches_torch(self, ref):
         """Running-stat momentum convention matches BatchNorm1d (full pillars,
