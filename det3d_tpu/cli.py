@@ -137,6 +137,15 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--torch-ckpt", required=True, help="reference .pth file")
     p.add_argument("--out", required=True, help="framework model_dir to write")
 
+    p = sub.add_parser(
+        "export-weights",
+        help="eject a framework checkpoint as a reference-layout .pth "
+        "(inverse of import-weights; loads with strict=True in the reference)",
+    )
+    add_common(p)
+    p.add_argument("--checkpoint", required=True, help="framework model_dir")
+    p.add_argument("--out", required=True, help=".pth file to write")
+
     p = sub.add_parser("create-info", help="dataset indexer (reference create_info.py)")
     p.add_argument("--root", required=True)
     p.add_argument("--out", default=None)
@@ -274,11 +283,17 @@ def main(argv: list[str] | None = None) -> None:
 
         bench_rpn(cfg, iters=args.iters)
     elif args.cmd == "import-weights":
-        from det3d_tpu.deploy.torch_import import import_torch_checkpoint
+        from det3d_tpu.deploy.torch_interop import import_torch_checkpoint
 
         step = import_torch_checkpoint(args.torch_ckpt, cfg, args.out)
         print(f"imported step {step}: {args.torch_ckpt} -> {args.out} "
               "(restore with --checkpoint)")
+    elif args.cmd == "export-weights":
+        from det3d_tpu.deploy.torch_interop import export_torch_checkpoint
+
+        step = export_torch_checkpoint(args.checkpoint, cfg, args.out)
+        print(f"exported step {step}: {args.checkpoint} -> {args.out} "
+              "(reference-layout .pth)")
     elif args.cmd == "tune":
         import jax
 

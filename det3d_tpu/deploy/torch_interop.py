@@ -1,10 +1,13 @@
-"""Import a reference PyTorch checkpoint into this framework.
+"""Torch checkpoint interop: import from and export to the reference format.
 
 Migration path for users of the reference `1005088h/3d_object_detection`:
 their training runs save `{'step', 'model_state_dict', 'optimizer_state_dict'}`
-(reference train.py:117-127); this module converts the model weights into the
-Flax parameter tree and writes a framework checkpoint that every entry point
-(`cli infer/serve/export --checkpoint`) restores directly.
+(reference train.py:117-127). `import_torch_checkpoint` converts the model
+weights into the Flax parameter tree and writes a framework checkpoint that
+every entry point (`cli infer/serve/export --checkpoint`) restores directly;
+`export_torch_checkpoint` is the exact inverse — a framework-trained model
+ejected as a reference-layout .pth that `net.load_state_dict` accepts
+strictly (e.g. to keep an existing TensorRT deployment pipeline).
 
 The Flax modules were designed parameter-compatible with the torch layout
 (see DeconvUpsample / RPN / SharedHead docstrings in models/pointpillars.py):
@@ -111,6 +114,74 @@ def state_dict_to_variables(sd: dict, layer_nums: tuple[int, ...] = (2, 4, 4)) -
         }
     }
     return {"params": params, "batch_stats": batch_stats}
+
+
+def variables_to_state_dict(variables: dict, layer_nums: tuple[int, ...] = (2, 4, 4)) -> dict:
+    """`{"params", "batch_stats"}` tree → reference `net.state_dict()` keys
+    as numpy arrays — the exact inverse of `state_dict_to_variables` (each
+    kernel transform is its own inverse up to the documented flips).
+
+    Includes the BatchNorm bookkeeping key (`num_batches_tracked`, zeroed) so
+    the result loads with `strict=True`."""
+    p, bs = variables["params"], variables["batch_stats"]
+    f32 = lambda a: np.ascontiguousarray(_np(a), dtype=np.float32)  # noqa: E731
+
+    sd = {
+        # nn.Dense (I, O) → Conv1d (O, I, 1)
+        "pillar_point_net.pfn_layers.0.weight": f32(p["pfn"]["pfn_dense"]["kernel"]).T[..., None],
+        "pillar_point_net.pfn_layers.1.weight": f32(p["pfn"]["pfn_bn"]["scale"]),
+        "pillar_point_net.pfn_layers.1.bias": f32(p["pfn"]["pfn_bn"]["bias"]),
+        "pillar_point_net.pfn_layers.1.running_mean": f32(bs["pfn"]["pfn_bn"]["mean"]),
+        "pillar_point_net.pfn_layers.1.running_var": f32(bs["pfn"]["pfn_bn"]["var"]),
+        "pillar_point_net.pfn_layers.1.num_batches_tracked": np.zeros((), np.int64),
+    }
+    rpn = p["rpn"]
+    for b, depth in enumerate(layer_nums, start=1):
+        # flax HWIO → torch OIHW
+        sd[f"rpn.block{b}.0.weight"] = f32(rpn[f"block{b - 1}_down"]["kernel"]).transpose(3, 2, 0, 1)
+        n_full = depth // 2
+        units = [(3 + u, 2) for u in range(n_full)] + [(3 + n_full, 1)]
+        for u, (seq_idx, n_convs) in enumerate(units):
+            for i in range(n_convs):
+                sd[f"rpn.block{b}.{seq_idx}.conv_block.{2 + 3 * i}.weight"] = f32(
+                    rpn[f"block{b - 1}_res{u}"][f"conv{i}"]["kernel"]
+                ).transpose(3, 2, 0, 1)
+    sd["rpn.deconv1.0.weight"] = f32(rpn["deconv0"]["kernel"]).transpose(2, 3, 0, 1)
+    sd["rpn.deconv2.0.weight"] = np.flip(f32(rpn["deconv1"]["kernel"]), (0, 1)).transpose(2, 3, 0, 1)
+    sd["rpn.deconv3.0.weight"] = np.flip(f32(rpn["deconv2"]["kernel"]), (0, 1)).transpose(2, 3, 0, 1)
+    for name in ("conv_cls", "conv_box", "conv_dir"):
+        # nn.Dense (I, O) → Conv2d 1x1 (O, I, 1, 1)
+        sd[f"heads.{name}.weight"] = f32(p["head"][name]["kernel"]).T[..., None, None]
+        sd[f"heads.{name}.bias"] = f32(p["head"][name]["bias"])
+    return {k: np.ascontiguousarray(v) for k, v in sd.items()}
+
+
+def export_torch_checkpoint(model_dir: str | Path, cfg, out_path: str | Path) -> int:
+    """Eject the `latest` framework checkpoint as a reference-layout .pth.
+
+    Returns the exported step. Optimizer state is left empty (`{}`) — the
+    reference's restore tolerates a fresh Adam exactly as our import does."""
+    import jax
+    import torch
+
+    from det3d_tpu.train.checkpoint import CheckpointManager
+    from det3d_tpu.train.trainer import Trainer
+
+    trainer = Trainer(cfg)
+    template = trainer.init_state(jax.random.PRNGKey(0))
+    state = CheckpointManager(model_dir).restore_latest(template)
+    if state is None:
+        raise FileNotFoundError(f"no latest checkpoint under {model_dir}")
+    sd = variables_to_state_dict({"params": state.params, "batch_stats": state.batch_stats})
+    torch.save(
+        {
+            "step": int(state.step),
+            "model_state_dict": {k: torch.from_numpy(v) for k, v in sd.items()},
+            "optimizer_state_dict": {},
+        },
+        str(out_path),
+    )
+    return int(state.step)
 
 
 def load_reference_checkpoint(path: str | Path) -> tuple[dict, int]:

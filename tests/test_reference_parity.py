@@ -93,13 +93,13 @@ def _make_torch_model(ref_net, cfg, seed=0):
 
 def _transplant(net) -> dict:
     """Copy the torch reference parameters into the Flax variables tree via
-    the PRODUCT converter (deploy/torch_import.py — the `cli import-weights`
+    the PRODUCT converter (deploy/torch_interop.py — the `cli import-weights`
     path), so every parity assertion below also validates the migration tool.
 
     copy semantics: state_dict_to_variables deep-copies into numpy, so
     torch's in-place running-stat updates during a later net(example) cannot
     mutate the transplanted arrays."""
-    from det3d_tpu.deploy.torch_import import state_dict_to_variables
+    from det3d_tpu.deploy.torch_interop import state_dict_to_variables
 
     v = state_dict_to_variables({k: t.detach() for k, t in net.state_dict().items()})
     return jax.tree.map(jnp.asarray, v)
@@ -211,7 +211,7 @@ class TestModelParity:
             pth,
         )
 
-        from det3d_tpu.deploy.torch_import import import_torch_checkpoint
+        from det3d_tpu.deploy.torch_interop import import_torch_checkpoint
         from det3d_tpu.train.checkpoint import CheckpointManager
         from det3d_tpu.train.trainer import Trainer
 
@@ -229,6 +229,57 @@ class TestModelParity:
         ):
             np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
 
+    def test_export_import_roundtrip_identity(self, ref):
+        """variables → reference state_dict → variables is the identity
+        (every kernel transform inverts exactly), and the exported key set
+        loads into the real torch net with strict=True."""
+        ref_net, _ = ref
+        cfg = _small_parity_cfg()
+        net = _make_torch_model(ref_net, cfg, seed=11)
+        variables = _transplant(net)
+
+        from det3d_tpu.deploy.torch_interop import (
+            state_dict_to_variables,
+            variables_to_state_dict,
+        )
+
+        np_vars = jax.tree.map(np.asarray, variables)
+        sd = variables_to_state_dict(np_vars)
+        net2 = _make_torch_model(ref_net, cfg, seed=12)
+        net2.load_state_dict(
+            {k: torch.from_numpy(v).to(net2.state_dict()[k].dtype) for k, v in sd.items()},
+            strict=True,
+        )
+        back = state_dict_to_variables(sd)
+        for got, exp in zip(jax.tree.leaves(back), jax.tree.leaves(np_vars)):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+    def test_export_weights_checkpoint(self, ref, tmp_path):
+        """`cli export-weights` path: framework checkpoint dir → .pth whose
+        re-import restores identical parameters."""
+        ref_net, _ = ref
+        cfg = _small_parity_cfg()
+        net = _make_torch_model(ref_net, cfg, seed=13)
+        pth_in = tmp_path / "in.pth"
+        torch.save({"step": 42, "model_state_dict": net.state_dict()}, pth_in)
+
+        from det3d_tpu.deploy.torch_interop import (
+            export_torch_checkpoint,
+            import_torch_checkpoint,
+            load_reference_checkpoint,
+            state_dict_to_variables,
+        )
+
+        import_torch_checkpoint(pth_in, cfg, tmp_path / "model")
+        step = export_torch_checkpoint(tmp_path / "model", cfg, tmp_path / "out.pth")
+        assert step == 42
+        sd_out, step_out = load_reference_checkpoint(tmp_path / "out.pth")
+        assert step_out == 42
+        a = state_dict_to_variables({k: t for k, t in sd_out.items()})
+        b = state_dict_to_variables({k: t.detach() for k, t in net.state_dict().items()})
+        for got, exp in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
     def test_import_weights_rejects_wrong_config(self, ref, tmp_path):
         """A geometry mismatch must fail loudly at import, not at inference."""
         ref_net, _ = ref
@@ -237,7 +288,7 @@ class TestModelParity:
         pth = tmp_path / "latest.pth"
         torch.save({"step": 1, "model_state_dict": net.state_dict()}, pth)
 
-        from det3d_tpu.deploy.torch_import import import_torch_checkpoint
+        from det3d_tpu.deploy.torch_interop import import_torch_checkpoint
 
         bad_cfg = cfg.replace(num_point_features=5)  # PFN input width differs
         with pytest.raises(ValueError, match="shape mismatch"):
@@ -1147,45 +1198,22 @@ class TestOptimizerParity:
 
 
 def _untransplant(net, variables) -> None:
-    """Copy a trained Flax variables tree INTO the torch reference model —
-    the exact inverse of `_transplant` (see its layout comments)."""
-    params = jax.tree.map(np.asarray, variables["params"])
-    bstats = jax.tree.map(np.asarray, variables["batch_stats"])
-    sd = net.state_dict()
-    new = {}
+    """Copy a trained Flax variables tree INTO the torch reference model via
+    the PRODUCT exporter (deploy/torch_interop.variables_to_state_dict — the
+    `cli export-weights` path), so the full-system mAP parity below also
+    validates the eject tool. strict=True proves the key set is complete."""
+    from det3d_tpu.deploy.torch_interop import variables_to_state_dict
 
-    def put(key, arr):
-        t = sd[key]
-        arr = np.ascontiguousarray(arr, dtype=np.float32).reshape(tuple(t.shape))
-        new[key] = torch.from_numpy(arr.copy()).to(t.dtype)
-
-    put("pillar_point_net.pfn_layers.0.weight", params["pfn"]["pfn_dense"]["kernel"].T)
-    put("pillar_point_net.pfn_layers.1.weight", params["pfn"]["pfn_bn"]["scale"])
-    put("pillar_point_net.pfn_layers.1.bias", params["pfn"]["pfn_bn"]["bias"])
-    put("pillar_point_net.pfn_layers.1.running_mean", bstats["pfn"]["pfn_bn"]["mean"])
-    put("pillar_point_net.pfn_layers.1.running_var", bstats["pfn"]["pfn_bn"]["var"])
-    rpn = params["rpn"]
-    block_units = {1: [(3, 2)], 2: [(3, 2), (4, 2)], 3: [(3, 2), (4, 2)]}
-    for b in (1, 2, 3):
-        put(f"rpn.block{b}.0.weight", rpn[f"block{b-1}_down"]["kernel"].transpose(3, 2, 0, 1))
-        units = block_units[b] + [(max(u for u, _ in block_units[b]) + 1, 1)]
-        for u, (seq_idx, n_convs) in enumerate(units):
-            for i in range(n_convs):
-                put(
-                    f"rpn.block{b}.{seq_idx}.conv_block.{2 + 3 * i}.weight",
-                    rpn[f"block{b-1}_res{u}"][f"conv{i}"]["kernel"].transpose(3, 2, 0, 1),
-                )
-    put("rpn.deconv1.0.weight", rpn["deconv0"]["kernel"].transpose(2, 3, 0, 1))
-    put("rpn.deconv2.0.weight", np.flip(rpn["deconv1"]["kernel"], (0, 1)).transpose(2, 3, 0, 1))
-    put("rpn.deconv3.0.weight", np.flip(rpn["deconv2"]["kernel"], (0, 1)).transpose(2, 3, 0, 1))
-    for h in ("cls", "box", "dir"):
-        put(f"heads.conv_{h}.weight", params["head"][f"conv_{h}"]["kernel"].T)
-        put(f"heads.conv_{h}.bias", params["head"][f"conv_{h}"]["bias"])
-    leftover = set(sd) - set(new) - {k for k in sd if "num_batches_tracked" in k}
-    assert not leftover, f"unmapped torch parameters: {sorted(leftover)}"
-    merged = dict(sd)
-    merged.update(new)
-    net.load_state_dict(merged)
+    sd = variables_to_state_dict(
+        {
+            "params": jax.tree.map(np.asarray, variables["params"]),
+            "batch_stats": jax.tree.map(np.asarray, variables["batch_stats"]),
+        }
+    )
+    net.load_state_dict(
+        {k: torch.from_numpy(v).to(net.state_dict()[k].dtype) for k, v in sd.items()},
+        strict=True,
+    )
 
 
 class _FrozenKeys(dict):
