@@ -136,6 +136,11 @@ def main(argv: list[str] | None = None) -> None:
     add_common(p)
     p.add_argument("--torch-ckpt", required=True, help="reference .pth file")
     p.add_argument("--out", required=True, help="framework model_dir to write")
+    p.add_argument(
+        "--no-optimizer", action="store_true",
+        help="skip the Adam-moment transfer (re-warm the optimizer from "
+        "zero instead of resuming mid-trajectory)",
+    )
 
     p = sub.add_parser(
         "export-weights",
@@ -285,7 +290,9 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "import-weights":
         from det3d_tpu.deploy.torch_interop import import_torch_checkpoint
 
-        step = import_torch_checkpoint(args.torch_ckpt, cfg, args.out)
+        step = import_torch_checkpoint(
+            args.torch_ckpt, cfg, args.out, import_optimizer=not args.no_optimizer
+        )
         print(f"imported step {step}: {args.torch_ckpt} -> {args.out} "
               "(restore with --checkpoint)")
     elif args.cmd == "export-weights":

@@ -17,10 +17,14 @@ weight-side at apply time, so a converted checkpoint is exact — the weights-
 transplant parity suite (tests/test_reference_parity.py) asserts forward
 agreement with the torch network to atol 2e-4 *through this module*.
 
-Optimizer state is NOT imported: the reference's torch Adam moments live in
-torch parameter order with torch-layout tensors; a resumed run re-warms Adam
-from zero (the reference's own lr-override-on-restore workflow,
-train.py:73-76, tolerates exactly this kind of restart).
+Optimizer state IS imported when present: torch Adam's per-parameter moments
+(exp_avg / exp_avg_sq) follow the exact same layout transforms as their
+weights (they are elementwise companions), so the weight converter doubles
+as the moment converter and a migrated run resumes mid-trajectory — the
+update-parity test asserts the first post-import step matches torch's to
+float32 tolerance. Pass import_optimizer=False to re-warm Adam from zero
+instead (the reference's own lr-override-on-restore workflow, train.py:73-76,
+tolerates that kind of restart).
 """
 
 from __future__ import annotations
@@ -184,11 +188,87 @@ def export_torch_checkpoint(model_dir: str | Path, cfg, out_path: str | Path) ->
     return int(state.step)
 
 
-def load_reference_checkpoint(path: str | Path) -> tuple[dict, int]:
-    """Read a reference .pth file → (model state_dict, step).
+_BUFFER_SUFFIXES = ("running_mean", "running_var", "num_batches_tracked")
+
+
+def optimizer_state_to_moments(
+    opt_sd: dict, model_sd: dict, layer_nums: tuple[int, ...] = (2, 4, 4)
+) -> tuple[int, dict, dict]:
+    """torch Adam `optimizer_state_dict` → (adam_step, mu_tree, nu_tree).
+
+    torch keys Adam state by parameter INDEX in `net.parameters()` order,
+    which equals the state_dict's parameter-key order (both are module
+    registration order); each moment tensor has its weight's shape, so the
+    weight converter maps the moment trees. Shape equality is asserted
+    per-parameter, which catches any ordering violation."""
+    param_keys = [k for k in model_sd if not k.endswith(_BUFFER_SUFFIXES)]
+    idxs = list(opt_sd["param_groups"][0]["params"])
+    if len(idxs) != len(param_keys):
+        raise ValueError(
+            f"optimizer state has {len(idxs)} parameters, model has "
+            f"{len(param_keys)} — not a matching reference checkpoint")
+    torch_state = opt_sd["state"]
+    step = 0
+    ea: dict[str, np.ndarray] = {}
+    es: dict[str, np.ndarray] = {}
+    for key, idx in zip(param_keys, idxs):
+        s = torch_state.get(idx, torch_state.get(str(idx)))
+        w = _np(model_sd[key])
+        if s is None:  # parameter never stepped: fresh moments
+            ea[key] = np.zeros_like(w, dtype=np.float32)
+            es[key] = np.zeros_like(w, dtype=np.float32)
+            continue
+        m, v = _np(s["exp_avg"]), _np(s["exp_avg_sq"])
+        if m.shape != w.shape:
+            raise ValueError(
+                f"moment shape {m.shape} != weight shape {w.shape} for {key} "
+                "— torch parameter order assumption violated")
+        ea[key], es[key] = m, v
+        step = int(np.asarray(_np(s["step"])).item())
+    for k in model_sd:  # zero stand-ins so the tree builder sees its full key set
+        if k.endswith(_BUFFER_SUFFIXES):
+            ea[k] = np.zeros_like(_np(model_sd[k]), dtype=np.float32)
+            es[k] = np.zeros_like(_np(model_sd[k]), dtype=np.float32)
+    mu = state_dict_to_variables(ea, layer_nums)["params"]
+    nu = state_dict_to_variables(es, layer_nums)["params"]
+    return step, mu, nu
+
+
+def _splice_adam_state(state, adam_step: int, mu, nu, fused: bool):
+    """Write imported Adam moments into a TrainState's optax chain
+    (clip_by_global_norm → inject_hyperparams(adam), optionally flattened)."""
+    import jax
+    import jax.numpy as jnp
+
+    clip_s, inj = state.opt_state
+    adam_s = inj.inner_state[0]
+    tail = tuple(inj.inner_state[1:])
+    if fused:
+        # optax.flatten raveled the moment trees into one vector in
+        # tree-leaves order — flatten ours the same way
+        def flat(tree):
+            return jnp.concatenate([jnp.ravel(x) for x in jax.tree.leaves(tree)])
+
+        mu, nu = flat(mu), flat(nu)
+    cast = lambda tmpl, new: jax.tree.map(  # noqa: E731
+        lambda t, n: jnp.asarray(n, t.dtype).reshape(t.shape), tmpl, new)
+    new_adam = adam_s._replace(
+        count=jnp.asarray(adam_step, adam_s.count.dtype),
+        mu=cast(adam_s.mu, mu),
+        nu=cast(adam_s.nu, nu),
+    )
+    new_inj = inj._replace(
+        count=jnp.asarray(adam_step, inj.count.dtype),
+        inner_state=(new_adam,) + tail,
+    )
+    return state._replace(opt_state=(clip_s, new_inj))
+
+
+def load_reference_checkpoint(path: str | Path) -> tuple[dict, int, dict | None]:
+    """Read a reference .pth file → (model state_dict, step, optimizer sd).
 
     Accepts both the trainer's full dict (train.py:117-127) and a bare
-    `net.state_dict()`."""
+    `net.state_dict()` (optimizer part None)."""
     try:
         import torch
     except ImportError as e:  # pragma: no cover
@@ -201,22 +281,29 @@ def load_reference_checkpoint(path: str | Path) -> tuple[dict, int]:
         # optimizer_state_dict; fall back to a full unpickle (user's own file)
         ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
-        return ckpt["model_state_dict"], int(ckpt.get("step", 0))
-    return ckpt, 0
+        opt_sd = ckpt.get("optimizer_state_dict") or None
+        if opt_sd is not None and not opt_sd.get("state"):
+            opt_sd = None  # present but empty: nothing to import
+        return ckpt["model_state_dict"], int(ckpt.get("step", 0)), opt_sd
+    return ckpt, 0, None
 
 
-def import_torch_checkpoint(ckpt_path: str | Path, cfg, model_dir: str | Path) -> int:
+def import_torch_checkpoint(
+    ckpt_path: str | Path, cfg, model_dir: str | Path, import_optimizer: bool = True
+) -> int:
     """Convert a reference checkpoint into `model_dir` (framework layout).
 
     Returns the imported step. The result restores through
-    `CheckpointManager.restore_latest` like any native checkpoint."""
+    `CheckpointManager.restore_latest` like any native checkpoint; when the
+    .pth carries Adam state (and import_optimizer), the moments transfer too
+    and training resumes mid-trajectory."""
     import jax
     import jax.numpy as jnp
 
     from det3d_tpu.train.checkpoint import CheckpointManager
     from det3d_tpu.train.trainer import Trainer
 
-    sd, step = load_reference_checkpoint(ckpt_path)
+    sd, step, opt_sd = load_reference_checkpoint(ckpt_path)
     imported = state_dict_to_variables(sd)
 
     trainer = Trainer(cfg)
@@ -245,5 +332,9 @@ def import_torch_checkpoint(ckpt_path: str | Path, cfg, model_dir: str | Path) -
         params=check_and_cast(state.params, imported["params"], "params"),
         batch_stats=check_and_cast(state.batch_stats, imported["batch_stats"], "batch_stats"),
     )
+    if import_optimizer and opt_sd is not None:
+        adam_step, mu, nu = optimizer_state_to_moments(opt_sd, sd)
+        state = _splice_adam_state(
+            state, adam_step, mu, nu, fused=bool(getattr(cfg, "fused_adam", False)))
     CheckpointManager(model_dir).save(state)
     return step

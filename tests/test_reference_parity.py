@@ -273,12 +273,90 @@ class TestModelParity:
         import_torch_checkpoint(pth_in, cfg, tmp_path / "model")
         step = export_torch_checkpoint(tmp_path / "model", cfg, tmp_path / "out.pth")
         assert step == 42
-        sd_out, step_out = load_reference_checkpoint(tmp_path / "out.pth")
-        assert step_out == 42
+        sd_out, step_out, opt_out = load_reference_checkpoint(tmp_path / "out.pth")
+        assert step_out == 42 and opt_out is None
         a = state_dict_to_variables({k: t for k, t in sd_out.items()})
         b = state_dict_to_variables({k: t.detach() for k, t in net.state_dict().items()})
         for got, exp in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
             np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_import_optimizer_state_resumes_adam(self, ref, tmp_path, fused):
+        """A migrated run resumes MID-TRAJECTORY: after importing a .pth with
+        3 steps of torch Adam state, our very next optimizer step (the
+        trainer's clip+Adam chain, plain or fused) produces the same
+        parameters as torch's 4th step — moments, bias-correction count, and
+        layout transforms all have to line up for this to hold."""
+        import optax
+
+        ref_net, _ = ref
+        lr = 7e-4
+        cfg = _small_parity_cfg().replace(learning_rate=lr, fused_adam=fused)
+        net = _make_torch_model(ref_net, cfg, seed=21)
+        tparams = [p for p in net.parameters()]
+        topt = torch.optim.Adam(tparams, lr=lr)
+
+        torch.manual_seed(99)
+        param_keys = [
+            k for k in net.state_dict()
+            if not k.endswith(("running_mean", "running_var", "num_batches_tracked"))
+        ]
+
+        def fab_grads(step_seed):
+            g = torch.Generator().manual_seed(step_seed)
+            return {
+                k: torch.randn(net.state_dict()[k].shape, generator=g) * 0.02
+                for k in param_keys
+            }
+
+        for s in range(3):  # small grads: the 10.0 global-norm clip stays inactive
+            grads = fab_grads(s)
+            topt.zero_grad()
+            for p, k in zip(tparams, param_keys):
+                p.grad = grads[k].clone()
+            torch.nn.utils.clip_grad_norm_(tparams, 10.0)
+            topt.step()
+
+        pth = tmp_path / "latest.pth"
+        torch.save(
+            {"step": 300, "model_state_dict": net.state_dict(),
+             "optimizer_state_dict": topt.state_dict()},
+            pth,
+        )
+
+        from det3d_tpu.deploy.torch_interop import import_torch_checkpoint
+        from det3d_tpu.train.checkpoint import CheckpointManager
+        from det3d_tpu.train.trainer import Trainer
+
+        import_torch_checkpoint(pth, cfg, tmp_path / "model")
+        tr = Trainer(cfg)
+        state = CheckpointManager(tmp_path / "model").restore_latest(
+            tr.init_state(jax.random.PRNGKey(1))
+        )
+
+        # step 4 on both sides with identical gradients
+        grads4 = fab_grads(3)
+        from det3d_tpu.deploy.torch_interop import state_dict_to_variables
+
+        g_tree = state_dict_to_variables(
+            {k: grads4.get(k, torch.zeros(net.state_dict()[k].shape))
+             for k in net.state_dict()}
+        )["params"]
+        g_tree = jax.tree.map(lambda t, g: jnp.asarray(g, t.dtype), state.params, g_tree)
+        updates, _ = tr.optimizer.update(g_tree, state.opt_state, state.params)
+        ours = optax.apply_updates(state.params, updates)
+
+        topt.zero_grad()
+        for p, k in zip(tparams, param_keys):
+            p.grad = grads4[k].clone()
+        torch.nn.utils.clip_grad_norm_(tparams, 10.0)
+        topt.step()
+        want = _transplant(net)["params"]
+
+        for got, exp in zip(jax.tree.leaves(ours), jax.tree.leaves(want)):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(exp), rtol=1e-5, atol=1e-6
+            )
 
     def test_import_weights_rejects_wrong_config(self, ref, tmp_path):
         """A geometry mismatch must fail loudly at import, not at inference."""
