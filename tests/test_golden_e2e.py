@@ -7,6 +7,11 @@ framework/inference.py:258-448, infer_v2/v3 validating each other). Per-op
 unit oracles cannot catch a refactor that shifts the decode/top-k/NMS
 interplay within each op's tolerance; this does.
 
+Two assets (tools/make_golden.py): the tiny `small` geometry with exact
+top-k, and the 200²-grid `mid` geometry with the TPU-default bucketed
+approximate top-k forced on — tiling/padding arithmetic and the approx
+selection are pinned there.
+
 If this fails after an INTENTIONAL behavior change, regenerate with
 `python tools/make_golden.py` and commit the new asset with the change.
 A fingerprint mismatch means the weight init itself changed (different
@@ -18,46 +23,40 @@ import os
 import numpy as np
 import pytest
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "e2e_small.npz")
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+FRAMES = {"small": 6, "mid": 4}
 
 
-@pytest.fixture(scope="module")
-def golden():
-    if not os.path.exists(GOLDEN):
-        pytest.fail(f"golden asset missing: {GOLDEN} (run tools/make_golden.py)")
-    return np.load(GOLDEN)
-
-
-@pytest.fixture(scope="module")
-def detector():
+@pytest.fixture(scope="module", params=["small", "mid"])
+def case(request):
+    which = request.param
+    path = os.path.join(GOLDEN_DIR, f"e2e_{which}.npz")
+    if not os.path.exists(path):
+        pytest.fail(f"golden asset missing: {path} (run tools/make_golden.py)")
     import jax
 
-    import __graft_entry__ as g
-    from det3d_tpu.pipeline import Detector
+    from tools.make_golden import make_detector
 
-    cfg = g._small_cfg()
-    det = Detector(cfg)
+    det = make_detector(which)
     variables = det.init_variables(jax.random.PRNGKey(0))
-    return det, variables
+    return which, np.load(path), det, variables
 
 
-def test_param_fingerprint_stable(golden, detector):
+def test_param_fingerprint_stable(case):
     from tools.make_golden import param_fingerprint
 
-    _, variables = detector
+    _, golden, _, variables = case
     np.testing.assert_allclose(
         param_fingerprint(variables), golden["fingerprint"], rtol=1e-6, atol=1e-8
     )
 
 
-def test_e2e_detections_frozen(golden, detector):
+def test_e2e_detections_frozen(case):
     import jax
 
-    from tools.make_golden import N_FRAMES
-
-    det, variables = detector
+    which, golden, det, variables = case
     total = 0
-    for i in range(N_FRAMES):
+    for i in range(FRAMES[which]):
         d = jax.device_get(
             det.infer_jit(variables, golden[f"points_{i}"], np.int32(golden[f"num_{i}"]))
         )
