@@ -72,14 +72,9 @@ def infer(
     else:
         det = Detector(cfg, postprocess_params=pp)
     if checkpoint:
-        from det3d_tpu.train.checkpoint import CheckpointManager
-        from det3d_tpu.train.trainer import Trainer
+        from det3d_tpu.train.checkpoint import load_latest_state
 
-        trainer = Trainer(cfg, det)
-        template = trainer.init_state(jax.random.PRNGKey(0))
-        state = CheckpointManager(checkpoint).restore_latest(template)
-        if state is None:
-            raise FileNotFoundError(f"no latest checkpoint under {checkpoint}")
+        state = load_latest_state(cfg, checkpoint, det)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         print(f"loaded checkpoint @ step {int(state.step)}")
     else:

@@ -129,15 +129,9 @@ def serve_synthetic(
     else:
         det = Detector(cfg)
     if checkpoint:
-        from det3d_tpu.train.checkpoint import CheckpointManager
-        from det3d_tpu.train.trainer import Trainer
+        from det3d_tpu.train.checkpoint import load_latest_state
 
-        trainer = Trainer(cfg, det)
-        state = CheckpointManager(checkpoint).restore_latest(
-            trainer.init_state(jax.random.PRNGKey(0))
-        )
-        if state is None:
-            raise FileNotFoundError(f"no latest checkpoint under {checkpoint}")
+        state = load_latest_state(cfg, checkpoint, det)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
     else:
         variables = det.init_variables(jax.random.PRNGKey(0))

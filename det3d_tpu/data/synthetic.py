@@ -103,6 +103,11 @@ def synthetic_cloud(max_points: int, n: int, seed: int = 0) -> np.ndarray:
     plane + scattered verticals. This is THE benchmark workload — bench.py
     and `cli tune` must time the same pillar-occupancy distribution (the
     scatter levers' wins are occupancy-dependent)."""
+    if n > max_points:
+        raise ValueError(
+            f"synthetic_cloud: n={n} exceeds the buffer max_points={max_points} "
+            "— pass n <= max_points (tools default to 100k real points, which "
+            "needs a config with max_points >= 100000)")
     r = np.random.RandomState(seed)
     pts = np.zeros((max_points, 4), np.float32)
     dist = np.abs(r.randn(n)) * 25.0 + 2.0

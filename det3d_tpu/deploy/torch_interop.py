@@ -163,25 +163,71 @@ def variables_to_state_dict(variables: dict, layer_nums: tuple[int, ...] = (2, 4
 def export_torch_checkpoint(model_dir: str | Path, cfg, out_path: str | Path) -> int:
     """Eject the `latest` framework checkpoint as a reference-layout .pth.
 
-    Returns the exported step. Optimizer state is left empty (`{}`) — the
-    reference's restore tolerates a fresh Adam exactly as our import does."""
+    Returns the exported step. The optimizer_state_dict is always a VALID
+    torch Adam state dict — the reference's resume calls
+    `optimizer.load_state_dict(checkpoint['optimizer_state_dict'])`
+    unconditionally (train.py:70-72), so an empty dict would crash it there.
+    When the checkpoint carries stepped Adam moments they transfer (the
+    moment trees map through the same transforms as their weights); a fresh
+    optimizer exports as `{'state': {}, 'param_groups': [...]}`."""
     import jax
     import torch
 
-    from det3d_tpu.train.checkpoint import CheckpointManager
-    from det3d_tpu.train.trainer import Trainer
+    from det3d_tpu.train.checkpoint import load_latest_state
 
-    trainer = Trainer(cfg)
-    template = trainer.init_state(jax.random.PRNGKey(0))
-    state = CheckpointManager(model_dir).restore_latest(template)
-    if state is None:
-        raise FileNotFoundError(f"no latest checkpoint under {model_dir}")
-    sd = variables_to_state_dict({"params": state.params, "batch_stats": state.batch_stats})
+    state = load_latest_state(cfg, model_dir)
+    np_vars = {
+        "params": jax.tree.map(np.asarray, state.params),
+        "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+    }
+    sd = variables_to_state_dict(np_vars)
+    n_params = sum(1 for k in sd if not k.endswith(_BUFFER_SUFFIXES))
+
+    inj = state.opt_state[1]
+    adam_s = inj.inner_state[0]
+    adam_step = int(adam_s.count)
+    torch_state: dict = {}
+    if adam_step > 0:
+        mu, nu = adam_s.mu, adam_s.nu
+        if not isinstance(mu, dict) and getattr(mu, "ndim", None) == 1:
+            # fused_adam (optax.flatten) keeps moments as one flat vector in
+            # tree-leaves order — unflatten against the params tree
+            leaves, treedef = jax.tree.flatten(np_vars["params"])
+            sizes = np.cumsum([leaf.size for leaf in leaves])[:-1]
+            unflat = lambda v: jax.tree.unflatten(  # noqa: E731
+                treedef,
+                [s.reshape(l.shape) for s, l in zip(np.split(np.asarray(v), sizes), leaves)],
+            )
+            mu, nu = unflat(mu), unflat(nu)
+        zeros_bs = jax.tree.map(np.zeros_like, np_vars["batch_stats"])
+        mu_sd = variables_to_state_dict({"params": jax.tree.map(np.asarray, mu),
+                                         "batch_stats": zeros_bs})
+        nu_sd = variables_to_state_dict({"params": jax.tree.map(np.asarray, nu),
+                                         "batch_stats": zeros_bs})
+        # indices must follow torch's parameters() (module-registration)
+        # order, which interleaves deconvs between blocks — NOT this module's
+        # dict insertion order
+        for i, k in enumerate(reference_param_key_order()):
+            torch_state[i] = {
+                "step": torch.tensor(float(adam_step)),
+                "exp_avg": torch.from_numpy(mu_sd[k]),
+                "exp_avg_sq": torch.from_numpy(nu_sd[k]),
+            }
+    lr = float(np.asarray(inj.hyperparams["learning_rate"]))
+    opt_sd = {
+        "state": torch_state,
+        "param_groups": [{
+            "lr": lr, "betas": (0.9, 0.999), "eps": 1e-8, "weight_decay": 0,
+            "amsgrad": False, "maximize": False, "foreach": None,
+            "capturable": False, "differentiable": False, "fused": None,
+            "params": list(range(n_params)),
+        }],
+    }
     torch.save(
         {
             "step": int(state.step),
             "model_state_dict": {k: torch.from_numpy(v) for k, v in sd.items()},
-            "optimizer_state_dict": {},
+            "optimizer_state_dict": opt_sd,
         },
         str(out_path),
     )
@@ -189,6 +235,30 @@ def export_torch_checkpoint(model_dir: str | Path, cfg, out_path: str | Path) ->
 
 
 _BUFFER_SUFFIXES = ("running_mean", "running_var", "num_batches_tracked")
+
+
+def reference_param_key_order(layer_nums: tuple[int, ...] = (2, 4, 4)) -> list[str]:
+    """The reference net's PARAMETER keys in module-registration order —
+    which is `net.parameters()` order and therefore torch Adam's state-index
+    order (pointpillars8_shared.py registers block1, deconv1, block2,
+    deconv2, block3, deconv3, then SharedHead's conv_cls/box/dir)."""
+    keys = [
+        "pillar_point_net.pfn_layers.0.weight",
+        "pillar_point_net.pfn_layers.1.weight",
+        "pillar_point_net.pfn_layers.1.bias",
+    ]
+    for b, depth in enumerate(layer_nums, start=1):
+        keys.append(f"rpn.block{b}.0.weight")
+        n_full = depth // 2
+        units = [(3 + u, 2) for u in range(n_full)] + [(3 + n_full, 1)]
+        for seq_idx, n_convs in units:
+            for i in range(n_convs):
+                keys.append(f"rpn.block{b}.{seq_idx}.conv_block.{2 + 3 * i}.weight")
+        keys.append(f"rpn.deconv{b}.0.weight")
+    for name in ("conv_cls", "conv_box", "conv_dir"):
+        keys.append(f"heads.{name}.weight")
+        keys.append(f"heads.{name}.bias")
+    return keys
 
 
 def optimizer_state_to_moments(
@@ -211,10 +281,12 @@ def optimizer_state_to_moments(
     step = 0
     ea: dict[str, np.ndarray] = {}
     es: dict[str, np.ndarray] = {}
+    missing: list[str] = []
     for key, idx in zip(param_keys, idxs):
         s = torch_state.get(idx, torch_state.get(str(idx)))
         w = _np(model_sd[key])
-        if s is None:  # parameter never stepped: fresh moments
+        if s is None:  # parameter never stepped (grads were None)
+            missing.append(key)
             ea[key] = np.zeros_like(w, dtype=np.float32)
             es[key] = np.zeros_like(w, dtype=np.float32)
             continue
@@ -224,7 +296,25 @@ def optimizer_state_to_moments(
                 f"moment shape {m.shape} != weight shape {w.shape} for {key} "
                 "— torch parameter order assumption violated")
         ea[key], es[key] = m, v
-        step = int(np.asarray(_np(s["step"])).item())
+        this_step = int(np.asarray(_np(s["step"])).item())
+        if step not in (0, this_step):
+            # optax keeps ONE bias-correction count for the whole tree; torch
+            # keeps one per parameter. Divergent counts (a parameter whose
+            # grads were None for part of training) cannot be represented —
+            # importing would silently mis-correct. Fail loudly; the user can
+            # re-import with import_optimizer=False.
+            raise ValueError(
+                f"per-parameter Adam step counts differ ({step} vs {this_step} "
+                f"at {key}); cannot represent in a single optax count — "
+                "re-run with --no-optimizer to import weights only")
+        step = this_step
+    if missing and len(missing) < len(param_keys):
+        # fresh params would start at torch step 1 while the shared optax
+        # count is already large — unrepresentable, same as divergent counts
+        raise ValueError(
+            f"Adam state missing for {missing[:3]}{'…' if len(missing) > 3 else ''} "
+            "while other parameters have stepped — cannot represent in a "
+            "single optax count; re-run with --no-optimizer")
     for k in model_sd:  # zero stand-ins so the tree builder sees its full key set
         if k.endswith(_BUFFER_SUFFIXES):
             ea[k] = np.zeros_like(_np(model_sd[k]), dtype=np.float32)

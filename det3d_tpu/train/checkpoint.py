@@ -19,10 +19,16 @@ from det3d_tpu.train.trainer import TrainState
 
 
 class CheckpointManager:
-    def __init__(self, model_dir: str | Path):
+    def __init__(self, model_dir: str | Path, readonly: bool = False):
+        """readonly=True opens WITHOUT write-side effects (no mkdir, no
+        .tmp.* sweep) — required when another process may be mid-save in the
+        same dir (sweeping would delete its in-flight temp and crash it)."""
         self.model_dir = Path(model_dir).absolute()
-        self.model_dir.mkdir(parents=True, exist_ok=True)
+        self._readonly = readonly
         self._ckpt = ocp.StandardCheckpointer()
+        if readonly:
+            return
+        self.model_dir.mkdir(parents=True, exist_ok=True)
         # sweep temp dirs a crashed previous run may have left behind
         for stale in self.model_dir.glob(".tmp.*"):
             shutil.rmtree(stale, ignore_errors=True)
@@ -37,6 +43,8 @@ class CheckpointManager:
         Atomic: each checkpoint is written to a temp dir, then renamed over
         the target. A crash mid-save never destroys the previous `latest`
         (the old rmtree-then-save left a window with no resume point)."""
+        if self._readonly:
+            raise RuntimeError("CheckpointManager opened readonly; cannot save")
         step = int(state.step)
         for name in ("latest", str(step)):
             path = self._path(name)
@@ -67,3 +75,28 @@ class CheckpointManager:
 
     def has_latest(self) -> bool:
         return self._path("latest").exists()
+
+
+def load_latest_state(cfg, model_dir: str | Path, detector=None) -> TrainState:
+    """Read-only restore of `latest` into a fresh template — the shared
+    checkpoint-load used by every non-training entry point (infer, serve,
+    export, torch interop). Opens the dir without write-side effects and
+    raises FileNotFoundError when no checkpoint exists."""
+    import jax
+
+    from det3d_tpu.train.trainer import Trainer
+
+    mgr = CheckpointManager(model_dir, readonly=True)
+    if not mgr.has_latest():
+        raise FileNotFoundError(f"no latest checkpoint under {model_dir}")
+    template = Trainer(cfg, detector).init_state(jax.random.PRNGKey(0))
+    try:
+        return mgr.restore_latest(template)
+    except Exception:
+        # fused_adam changes the opt_state tree (flat moment vectors vs
+        # per-tensor); weights-only consumers must not be blocked by an
+        # optimizer-lever mismatch between the saving and loading configs —
+        # retry with the lever flipped before giving up
+        flipped = cfg.replace(fused_adam=not getattr(cfg, "fused_adam", False))
+        template = Trainer(flipped).init_state(jax.random.PRNGKey(0))
+        return mgr.restore_latest(template)

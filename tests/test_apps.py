@@ -81,6 +81,31 @@ class TestCheckpoint:
         for a, b in zip(orig, back):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_readonly_open_has_no_side_effects(self, tmp_path):
+        """Readers (infer/serve/export/interop) must not mkdir a typo'd path
+        or sweep another process's in-flight .tmp.* save dirs."""
+        import pytest as _pytest
+
+        from det3d_tpu.train.checkpoint import CheckpointManager, load_latest_state
+
+        missing = tmp_path / "typo_dir"
+        mgr = CheckpointManager(missing, readonly=True)
+        assert not missing.exists()  # no mkdir side effect
+        with _pytest.raises(RuntimeError, match="readonly"):
+            mgr.save(None)
+
+        live = tmp_path / "live"
+        live.mkdir()
+        inflight = live / ".tmp.latest.deadbeef"
+        inflight.mkdir()
+        CheckpointManager(live, readonly=True)
+        assert inflight.exists()  # reader must not sweep a writer's temp
+        CheckpointManager(live)  # writer DOES sweep stale temps
+        assert not inflight.exists()
+
+        with _pytest.raises(FileNotFoundError):
+            load_latest_state(small_cfg(), missing)
+
     def test_crash_during_save_preserves_previous_latest(self, tmp_path, monkeypatch):
         """A failure mid-save must never destroy the existing `latest`
         resume point (the old rmtree-then-save sequence did)."""

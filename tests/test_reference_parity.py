@@ -256,7 +256,9 @@ class TestModelParity:
 
     def test_export_weights_checkpoint(self, ref, tmp_path):
         """`cli export-weights` path: framework checkpoint dir → .pth whose
-        re-import restores identical parameters."""
+        re-import restores identical parameters, and whose
+        optimizer_state_dict LOADS into a fresh torch Adam (the reference's
+        resume calls load_state_dict on it unconditionally, train.py:70-72)."""
         ref_net, _ = ref
         cfg = _small_parity_cfg()
         net = _make_torch_model(ref_net, cfg, seed=13)
@@ -273,12 +275,67 @@ class TestModelParity:
         import_torch_checkpoint(pth_in, cfg, tmp_path / "model")
         step = export_torch_checkpoint(tmp_path / "model", cfg, tmp_path / "out.pth")
         assert step == 42
+        full = torch.load(tmp_path / "out.pth", map_location="cpu", weights_only=True)
+        # the reference resume path must accept the optimizer dict as-is
+        net2 = _make_torch_model(ref_net, cfg, seed=14)
+        net2.load_state_dict(full["model_state_dict"], strict=True)
+        torch.optim.Adam(net2.parameters(), lr=1e-3).load_state_dict(
+            full["optimizer_state_dict"]
+        )
         sd_out, step_out, opt_out = load_reference_checkpoint(tmp_path / "out.pth")
-        assert step_out == 42 and opt_out is None
+        assert step_out == 42 and opt_out is None  # fresh Adam: empty state
         a = state_dict_to_variables({k: t for k, t in sd_out.items()})
         b = state_dict_to_variables({k: t.detach() for k, t in net.state_dict().items()})
         for got, exp in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
             np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_optimizer_state_roundtrips_through_export(self, ref, tmp_path, fused):
+        """Stepped Adam moments survive torch → framework → torch: exporting
+        an imported 3-step checkpoint reproduces each parameter's exp_avg /
+        exp_avg_sq and step under torch's own parameter indexing."""
+        ref_net, _ = ref
+        cfg = _small_parity_cfg().replace(fused_adam=fused)
+        net = _make_torch_model(ref_net, cfg, seed=31)
+        tparams = list(net.parameters())
+        topt = torch.optim.Adam(tparams, lr=7e-4)
+        for s in range(3):
+            g = torch.Generator().manual_seed(100 + s)
+            topt.zero_grad()
+            for p in tparams:
+                p.grad = torch.randn(p.shape, generator=g) * 0.02
+            topt.step()
+        pth = tmp_path / "in.pth"
+        torch.save(
+            {"step": 3, "model_state_dict": net.state_dict(),
+             "optimizer_state_dict": topt.state_dict()},
+            pth,
+        )
+
+        from det3d_tpu.deploy.torch_interop import (
+            export_torch_checkpoint,
+            import_torch_checkpoint,
+        )
+
+        import_torch_checkpoint(pth, cfg, tmp_path / "model")
+        export_torch_checkpoint(tmp_path / "model", cfg, tmp_path / "out.pth")
+        out = torch.load(tmp_path / "out.pth", map_location="cpu", weights_only=True)
+        want = topt.state_dict()
+        got = out["optimizer_state_dict"]
+        assert list(got["state"].keys()) == list(want["state"].keys())
+        for idx, w in want["state"].items():
+            gm = got["state"][idx]
+            assert int(gm["step"]) == int(w["step"]) == 3
+            np.testing.assert_allclose(
+                gm["exp_avg"].numpy(), w["exp_avg"].numpy(), rtol=1e-6, atol=1e-8
+            )
+            np.testing.assert_allclose(
+                gm["exp_avg_sq"].numpy(), w["exp_avg_sq"].numpy(), rtol=1e-6, atol=1e-8
+            )
+        # and torch accepts it for resume
+        net2 = _make_torch_model(ref_net, cfg, seed=32)
+        net2.load_state_dict(out["model_state_dict"], strict=True)
+        torch.optim.Adam(net2.parameters(), lr=7e-4).load_state_dict(got)
 
     @pytest.mark.parametrize("fused", [False, True])
     def test_import_optimizer_state_resumes_adam(self, ref, tmp_path, fused):
