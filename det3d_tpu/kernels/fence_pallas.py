@@ -107,7 +107,6 @@ def fence_any(x: jax.Array) -> jax.Array:
     """Identity fence for an arbitrary-shape array. Used on the
     weight-gradient pytree: the forward fence only reaches convs upstream of
     the loss, while wgrad convolutions' outputs ARE the grads — fencing them
-    keeps space-to-batch out of the backward pass too."""
-    if jax.default_backend() != "tpu" or x.ndim == 0 or x.size == 0:
-        return x
-    return s2b_fence(x.reshape(1, 1, -1)).reshape(x.shape)
+    keeps space-to-batch out of the backward pass too. (s2b_fence's non-3D
+    branch performs exactly this flatten-fence-restore.)"""
+    return s2b_fence(x)

@@ -90,8 +90,13 @@ class MaskedBatchNorm(nn.Module):
                 sum_sq = jax.lax.psum(sum_sq, axis_name)
             var = sum_sq / denom
             if not self.is_initializing():
+                # torch BatchNorm1d stores the UNBIASED (Bessel-corrected)
+                # batch variance in running_var while normalizing with the
+                # biased one — reproduce both so trained batch_stats match a
+                # torch-trained reference (test_batch_stats_update_matches_torch)
+                var_unbiased = sum_sq / jnp.maximum(count - 1.0, 1.0)
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
-                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * var
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * var_unbiased
         else:
             mean, var = ra_mean.value, ra_var.value
 
@@ -802,9 +807,7 @@ class SharedHead(nn.Module):
         self, x: jax.Array | tuple[jax.Array, jax.Array]
     ) -> dict[str, jax.Array]:
         parity_split = isinstance(x, tuple)
-        n, h, w, cin = (x[0] if parity_split else x).shape
-        if parity_split:
-            w *= 2
+        cin = (x[0] if parity_split else x).shape[-1]
         a, code = self.num_anchor_per_loc, self.box_code_size
         dt = self.compute_dtype
 
