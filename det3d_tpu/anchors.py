@@ -17,19 +17,17 @@ import dataclasses
 
 import numpy as np
 
+from det3d_tpu.utils.npmath import limit_period_np
+
 from det3d_tpu.config import Config
 from det3d_tpu.ops.anchor_mask import anchor_corner_cells
-
-
-def _limit_period_np(val, offset=0.5, period=np.pi):
-    return val - np.floor(val / period + offset) * period
 
 
 def _rbbox2d_to_near_bbox_np(rbboxes: np.ndarray) -> np.ndarray:
     """Numpy twin of ops.geometry.rbbox2d_to_near_bbox for init-time use
     (reference: framework/box_np_ops.py:308-320)."""
     rots = rbboxes[..., -1]
-    cond = (np.abs(_limit_period_np(rots, 0.5, np.pi)) > np.pi / 4)[..., None]
+    cond = (np.abs(limit_period_np(rots, 0.5, np.pi)) > np.pi / 4)[..., None]
     dims = np.where(cond, rbboxes[:, [3, 2]], rbboxes[:, [2, 3]])
     centers = rbboxes[:, :2]
     return np.concatenate([centers - dims / 2, centers + dims / 2], axis=-1)

@@ -219,9 +219,12 @@ def noise_per_object(
             eff_loc[i, :2] += dst_pos[hit] - boxes_bev[i, :2]
             eff_rot[i] = rot_noises[i, hit] + grot_noises[i, hit]
 
-    # apply accepted transforms to in-box points (first-containing-box rule,
-    # rotation about the original box center — reference points_transform_)
-    first_box = np.where(point_masks.any(1), np.argmax(point_masks, axis=1), -1)
+    # apply accepted transforms to in-box points (first-containing-box rule
+    # over VALID boxes only — reference points_transform_ checks valid_mask[j]
+    # before the membership test, augmentation.py:400-416 — rotation about
+    # the original box center)
+    vmasks = point_masks & valid_mask[None, :]
+    first_box = np.where(vmasks.any(1), np.argmax(vmasks, axis=1), -1)
     for i in range(num_boxes):
         if success[i] < 0 or not valid_mask[i]:
             continue

@@ -25,6 +25,7 @@ from pathlib import Path
 import numpy as np
 
 from det3d_tpu.data.augment import points_in_rbbox_np
+from det3d_tpu.utils.npmath import limit_period_np
 
 WAYMO_CALIB_LINES = [0, 1, 2, 3, 5, 6, 7]
 
@@ -36,10 +37,6 @@ def _camera_to_lidar_np(points: np.ndarray, r_rect: np.ndarray, velo2cam: np.nda
     hom = np.concatenate([points, np.ones((n, 1), points.dtype)], axis=1)
     lidar = hom @ np.linalg.inv((r_rect @ velo2cam).T)
     return lidar[:, :3]
-
-
-def _limit_period_np(val, offset: float = 0.5, period: float = 2.0 * np.pi):
-    return val - np.floor(val / period + offset) * period
 
 
 def _extend(mat: np.ndarray) -> np.ndarray:
@@ -106,7 +103,7 @@ def get_label_anno(label_file: Path, r_rect, velo2cam, waymo: bool = False) -> d
         anno["rotation_y"] = np.array([float(x[14]) for x in content]).reshape(-1)
     else:
         ry = np.array([1.5 * np.pi - float(x[14]) for x in content]).reshape(-1)
-        anno["rotation_y"] = _limit_period_np(ry, period=2.0 * np.pi)
+        anno["rotation_y"] = limit_period_np(ry, 0.5, 2.0 * np.pi)
     if num_gt and len(content[0]) == 16:
         anno["score"] = np.array([float(x[15]) for x in content])
     else:

@@ -21,6 +21,7 @@ import numpy as np
 
 from det3d_tpu.config import Config
 from det3d_tpu.data import augment as agm
+from det3d_tpu.utils.npmath import limit_period_np
 from det3d_tpu.ops import geometry  # noqa: F401  (device twin of the filters below)
 
 _CLASS_REMAP = {
@@ -49,10 +50,6 @@ def remap_class_names(infos: list[dict]) -> list[dict]:
             names[names == raw] = mapped
         annos["name"] = names
     return infos
-
-
-def _limit_period_np(val, offset=0.5, period=2 * np.pi):
-    return val - np.floor(val / period + offset) * period
 
 
 def _filter_gt_outside_range_np(gt_boxes, bv_range):
@@ -156,7 +153,7 @@ class DetectionDataset:
             keep = _filter_gt_outside_range_np(gt_boxes, dr[[0, 1, 3, 4]])
             gt_boxes = gt_boxes[keep]
             gt_classes = gt_classes[keep]
-            gt_boxes[:, 6] = _limit_period_np(gt_boxes[:, 6])
+            gt_boxes[:, 6] = limit_period_np(gt_boxes[:, 6], 0.5, 2 * np.pi)
         self.rng.shuffle(points)
 
         sample.update(points=points, gt_boxes=gt_boxes, gt_classes=gt_classes)

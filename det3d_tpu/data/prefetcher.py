@@ -2,12 +2,14 @@
 
 Counterpart of the reference's `DataLoader(num_workers, worker_init_fn)`
 (reference train.py:37-55, framework/utils.py:51-54): sample loading +
-augmentation run in forked worker processes ahead of the consumer, so the
-accelerator never waits on the host data plane. The collated `TrainBatch`
-is assembled in the parent (cheap concatenation of already-materialized
-arrays).
+augmentation run in SPAWNED worker processes (fork is unsafe once the
+multithreaded XLA runtime is up — see the pool construction below; the
+dataset is pickled once into each worker via the initializer) ahead of the
+consumer, so the accelerator never waits on the host data plane. The
+collated `TrainBatch` is assembled in the parent (cheap concatenation of
+already-materialized arrays).
 
-Workers inherit the dataset via fork and reseed their augmentation rng per
+Workers reseed their augmentation rng per
 (worker, epoch, index) so epochs are reproducible regardless of worker
 scheduling — stronger than the reference's per-worker reseed, which made
 augmentation depend on which worker picked up which sample.
@@ -97,7 +99,16 @@ class BatchPrefetcher:
     def epochs(self) -> Iterator[TrainBatch]:
         epoch = 0
         while True:
-            yield from self._epoch_batches(epoch)
+            produced = 0
+            for batch in self._epoch_batches(epoch):
+                produced += 1
+                yield batch
+            if produced == 0:
+                # len(dataset) < batch_size: every epoch truncates to zero
+                # batches — erroring beats spinning the while-loop forever
+                raise ValueError(
+                    f"dataset yields no full batches (len={len(self.dataset)}, "
+                    f"batch_size={self.cfg.batch_size})")
             epoch += 1
 
     def close(self) -> None:

@@ -198,8 +198,9 @@ def _frame_overlaps(gt_annos, dt_annos, metric):
 
     # frames where either side is empty need no device work
     live = [i for i in range(len(gt_annos)) if nd[i] > 0 and ng[i] > 0]
+    live_set = set(live)  # membership per frame: O(F), not O(F^2)
     for i in range(len(gt_annos)):
-        if i not in live:
+        if i not in live_set:
             overlaps[i] = np.zeros((nd[i], ng[i]), np.float64)
     if not live:
         return overlaps
@@ -249,6 +250,8 @@ def eval_class_ap(gt_annos, dt_annos, class_names, metric,
             total_num_valid_gt += nv
 
         for k, min_overlap in enumerate(MIN_OVERLAPS[current_class]):
+            if total_num_valid_gt == 0:
+                continue  # known before any per-frame work (clean_data only)
             all_thresholds = []
             for i in range(len(gt_annos)):
                 *_, th = compute_statistics(
@@ -256,8 +259,6 @@ def eval_class_ap(gt_annos, dt_annos, class_names, metric,
                     min_overlap, thresh=0.0, compute_fp=False,
                 )
                 all_thresholds += th.tolist()
-            if total_num_valid_gt == 0:
-                continue
             thresholds = get_thresholds(np.array(all_thresholds), total_num_valid_gt)
             pr = np.zeros([len(thresholds), 3])
             for i in range(len(gt_annos)):

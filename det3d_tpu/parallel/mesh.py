@@ -192,21 +192,47 @@ def make_spatial_infer(cfg, mesh: Mesh, **detector_kwargs):
     return det, infer_fn
 
 
-def make_sharded_infer(detector, mesh: Mesh):
+def make_sharded_infer(detector, mesh: Mesh, two_stage: bool | None = None):
     """Batched inference sharded on the data axis: (B, max_points, C) →
     per-frame Detections, for throughput eval over all chips. shard_map for
     the same reason as the train step: the per-frame pipeline ends in the
     Pallas NMS custom call, which must run per-device on local frames, not
-    replicated by GSPMD."""
-    def infer_batch(variables, points, num_points):
-        return jax.vmap(lambda p, n: detector.infer(variables, p, n))(points, num_points)
+    replicated by GSPMD.
 
-    return jax.jit(
-        jax.shard_map(
-            infer_batch,
-            mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=P(DATA_AXIS),
-            check_vma=False,
+    Mirrors Detector.infer_jit's TWO chained dispatches on TPU (candidates |
+    NMS): fusing the conv stack and the NMS custom call into one program
+    structurally disables space-to-batch on every conv (~3x at the small
+    per-device batches this path produces — CLAUDE.md); elsewhere one jit.
+    `two_stage` overrides the backend default (tests exercise the staged
+    split on the CPU mesh)."""
+    def _sharded(fn, in_specs):
+        return jax.jit(
+            jax.shard_map(
+                fn, mesh=mesh, in_specs=in_specs, out_specs=P(DATA_AXIS),
+                check_vma=False,
+            )
         )
-    )
+
+    if two_stage is None:
+        two_stage = jax.default_backend() == "tpu"
+    if not two_stage:
+        def infer_batch(variables, points, num_points):
+            return jax.vmap(lambda p, n: detector.infer(variables, p, n))(points, num_points)
+
+        return _sharded(infer_batch, (P(), P(DATA_AXIS), P(DATA_AXIS)))
+
+    def cand_batch(variables, points, num_points):
+        return jax.vmap(
+            lambda p, n: detector.infer_candidates(variables, p, n)
+        )(points, num_points)
+
+    def finalize_batch(cands):
+        return jax.vmap(detector.postprocess.finalize_stage)(cands)
+
+    stage1 = _sharded(cand_batch, (P(), P(DATA_AXIS), P(DATA_AXIS)))
+    stage2 = _sharded(finalize_batch, (P(DATA_AXIS),))
+
+    def two_stage(variables, points, num_points):
+        return stage2(stage1(variables, points, num_points))
+
+    return two_stage

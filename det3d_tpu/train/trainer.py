@@ -119,7 +119,7 @@ class Trainer:
         points, gt_boxes = global_augment_device(points, gt_boxes, key)
         dr = self.cfg.detection_range
         keep = filter_gt_box_outside_range(gt_boxes, (dr[0], dr[1], dr[3], dr[4]))
-        # 2π wrap like the host path's _limit_period_np (dataset.py:142);
+        # 2π wrap like the host path (utils.npmath.limit_period_np, period=2π);
         # limit_period's π default would alias headings that differ by π and
         # destroy the direction targets (targets.py dir = rot_gt > 0)
         gt_boxes = gt_boxes.at[:, 6].set(
@@ -294,7 +294,11 @@ def host_batch(cfg: Config, samples: list[dict]) -> TrainBatch:
         gb = s.get("gt_boxes", np.zeros((0, 7), np.float32))
         ng = min(gb.shape[0], g)
         gt_boxes[i, :ng] = gb[:ng]
-        gt_classes[i, :ng] = s.get("gt_classes", np.zeros((0,), np.int32))[:ng]
+        if ng and "gt_classes" not in s:
+            raise KeyError(
+                "sample has gt_boxes but no gt_classes — every box needs a "
+                "1-based class id (reference merge_second_batch carries both)")
+        gt_classes[i, :ng] = np.asarray(s.get("gt_classes", ()), np.int32)[:ng]
         gt_valid[i, :ng] = True
     return TrainBatch(
         points=points, num_points=num_points, gt_boxes=gt_boxes,

@@ -101,6 +101,17 @@ class TestShardedInfer:
                 np.asarray(out.valid)[i], np.asarray(single.valid)
             )
 
+        # the TPU default splits candidates | NMS into two chained sharded
+        # dispatches (space-to-batch survives); same detections required
+        infer8_staged = make_sharded_infer(det, mesh, two_stage=True)
+        out2 = infer8_staged(jax.device_put(v, replicated(mesh)),
+                             jax.device_put(pts, batch_sharded(mesh)),
+                             jax.device_put(cnt, batch_sharded(mesh)))
+        np.testing.assert_allclose(
+            np.asarray(out2.scores), np.asarray(out.scores), atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(out2.valid), np.asarray(out.valid))
+
 
 class TestSpatialInfer:
     def test_spatially_partitioned_infer_matches_single_device(self, mesh):

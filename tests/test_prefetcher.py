@@ -58,6 +58,15 @@ def test_workers_match_inline_loading():
         np.testing.assert_array_equal(ba.gt_boxes, bb.gt_boxes)
 
 
+def test_dataset_smaller_than_batch_errors_not_hangs():
+    """len(dataset) < batch_size yields zero full batches per epoch; the
+    endless-epochs iterator must raise instead of spinning forever."""
+    cfg = small_cfg(batch_size=4)
+    with BatchPrefetcher(FakeDataset(n=3), cfg, 0, seed=0) as pf:
+        with pytest.raises(ValueError, match="no full batches"):
+            next(pf.epochs())
+
+
 def test_epochs_reshuffle():
     cfg = small_cfg(batch_size=3)
     with BatchPrefetcher(FakeDataset(), cfg, 0, seed=1) as pf:
