@@ -151,7 +151,19 @@ def tune(
             raise ValueError(f"unknown lever(s) {sorted(unknown)}; known: {sorted(known)}")
 
     on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        print(
+            f"WARNING: tuning on the '{jax.default_backend()}' backend — lever "
+            "winners are BACKEND-LOCAL (e.g. pack_w=False wins on CPU but is "
+            "measured 38% slower on TPU). Do not deploy a CPU-tuned config "
+            "to TPU; the tuned JSON records the backend in _tuned_on.")
     raw = _loads(config_path)
+    # measure the EXACT bench.py workload unless the config or caller says
+    # otherwise: bench pins max_points=120k while the schema default is 200k,
+    # and the voxelizer's static sort/scan cost scales with the padded buffer
+    config_overrides = dict(config_overrides or {})
+    if "max_points" not in config_overrides and "max_points" not in raw:
+        config_overrides["max_points"] = 120_000
     chosen: dict[str, object] = {}
     decided: set[str] = set()
     report: dict = {"backend": jax.default_backend(), "config": str(config_path),
@@ -213,6 +225,7 @@ def tune(
     # file stays diff-readable against its source)
     tuned = dict(raw)
     tuned.update(chosen)
+    tuned["_tuned_on"] = report["backend"]  # provenance; load_config ignores it
     if out_path is None:
         p = Path(config_path)
         out_path = str(p.with_name(p.stem + "_tuned.json"))

@@ -61,7 +61,10 @@ def main():
     ]
     n = jax.device_put(np.int32(100_000))
 
-    def cand_fenced(points, num_points):
+    # `variables` is a jit ARGUMENT (like infer_jit's), not a closure capture:
+    # baked-in weights become compile-time constants, giving XLA different
+    # folding/layout freedom than the baseline program and polluting the A/B
+    def cand_fenced(variables, points, num_points):
         frame, anchors_mask = det.preprocess(points, num_points)
         preds = det.model.apply(
             variables,
@@ -83,7 +86,7 @@ def main():
     stage2 = jax.jit(det.postprocess.finalize_stage)
 
     def fenced(points, num_points):
-        return stage2(stage1f(points, num_points))
+        return stage2(stage1f(variables, points, num_points))
 
     def baseline(points, num_points):
         return det.infer_jit(variables, points, num_points)

@@ -15,12 +15,13 @@ so uniform-random pillars would understate it).
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def radial_cells(r: np.random.RandomState, n: int, grid: int, spread_m: float = 25.0):

@@ -106,6 +106,10 @@ def main() -> None:
     np.testing.assert_array_equal(got2, want * 2)
     out = scatter_to_bev_pallas(feats2, jnp.asarray(coors2), (nx, ny))
     out.block_until_ready()
+    want_flat = np.zeros((nx * ny, c), np.float32)
+    want_flat[cells] = np.asarray(feats[0, :12000], np.float32)
+    np.testing.assert_array_equal(np.asarray(out[0], np.float32).reshape(nx * ny, c), want_flat)
+    np.testing.assert_array_equal(np.asarray(out[1], np.float32).reshape(nx * ny, c), want_flat * 2)
     print("scatter batch-2: OK")
 
     # --- non-production-divisor grid (round-2 advisor): nrows that no large
@@ -124,7 +128,13 @@ def main() -> None:
     want_o[cells_o] = np.asarray(feats_o[0, :500], np.float32)
     np.testing.assert_array_equal(got, want_o)
     out = scatter_to_bev_s2d_pallas(feats_o, jnp.asarray(coors_o), (nxo, nyo))
-    out.block_until_ready()
+    got_o = np.asarray(out[0], np.float32).reshape((nxo // 2) * (nyo // 2), 4, c)
+    want_so = np.zeros(((nxo // 2) * (nyo // 2), 4, c), np.float32)
+    cxo, cyo = cells_o // nyo, cells_o % nyo
+    want_so[(cxo // 2) * (nyo // 2) + cyo // 2, (cxo % 2) * 2 + cyo % 2] = (
+        np.asarray(feats_o[0, :500], np.float32)
+    )
+    np.testing.assert_array_equal(got_o, want_so)
     print("scatter odd-grid (30x30, tile-8 row pad): OK")
 
     # --- assign_class_pallas at the vehicle-class production shape -----------

@@ -14,20 +14,27 @@ import glob
 import gzip
 import json
 import re
+import os
 import sys
 import tempfile
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="configs/ntusl_20cm.json")
+    ap.add_argument("--config", default=os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "configs", "ntusl_20cm.json"))
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
 
     import jax
+
+    try:  # CLAUDE.md: always use the persistent cache for TPU runs
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
     import numpy as np
 
     from bench import synthetic_cloud
@@ -50,14 +57,28 @@ def main():
             s1 = jax.jit(det.infer_candidates).lower(v, clouds[0], n)
             cands = jax.eval_shape(det.infer_candidates, v, clouds[0], n)
             s2 = jax.jit(det.postprocess.finalize_stage).lower(cands)
-            return s1.compile().as_text() + s2.compile().as_text()
+            return [s1.compile().as_text(), s2.compile().as_text()]
         except Exception:
-            return jax.jit(det.infer).lower(v, clouds[0], n).compile().as_text()
+            return [jax.jit(det.infer).lower(v, clouds[0], n).compile().as_text()]
 
-    hlo = hlo_of_stages()
+    hlos = hlo_of_stages()
+    hlo = "".join(hlos)
+    # instruction names repeat ACROSS modules (fusion.1 exists in both
+    # stages): keep stage-1's mapping on collision (it is the big program)
+    # and flag genuinely ambiguous names instead of silently misattributing
     src = {}
-    for m in re.finditer(r"%([\w.\-]+) = .*?source_file=\"([^\"]+)\" source_line=(\d+)", hlo):
-        src[m.group(1)] = f"{m.group(2).split('/')[-1]}:{m.group(3)}"
+    ambiguous = set()
+    for text in hlos:
+        for m in re.finditer(
+            r"%([\w.\-]+) = .*?source_file=\"([^\"]+)\" source_line=(\d+)", text
+        ):
+            loc = f"{m.group(2).split('/')[-1]}:{m.group(3)}"
+            if m.group(1) in src and src[m.group(1)] != loc:
+                ambiguous.add(m.group(1))
+            else:
+                src.setdefault(m.group(1), loc)
+    for name in ambiguous:
+        src[name] = src[name] + " (+stage2 name-clash)"
 
     jax.block_until_ready(det.infer_jit(v, clouds[0], n))
     trace_dir = tempfile.mkdtemp(prefix="det3d-trace-")
