@@ -22,6 +22,9 @@ FILES = {
     "train bench b=2": ("r3m_bench_train_b2.log", "train"),
     "train bench b=8": ("r3m_bench_train_b8.log", "train"),
     "followup A/Bs": ("r3_followup.log", "train"),
+    "A/B fused_adam": ("r3f_fused.log", "train"),
+    "A/B matcher_skip": ("r3f_mskip.log", "train"),
+    "A/B fused+mskip": ("r3f_both.log", "train"),
     "trace 10cm (top sites)": ("r3m_trace_10cm.log", "trace"),
     "trace train (top sites)": ("r3m_trace_train.log", "trace"),
     "learning validation": ("r3m_lv.log", "tail"),
