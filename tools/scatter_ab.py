@@ -94,13 +94,24 @@ def main() -> None:
                 ref = got
             else:
                 np.testing.assert_array_equal(got, ref)  # all variants agree
+            # sync in chunks: at the 1600 grid each s2d output canvas is
+            # ~330 MB bf16, and 32 outstanding results OOMed the 16 GB chip
+            # (RESOURCE_EXHAUSTED, 2026-08-19). 8 outstanding ≈ 2.6 GB; the
+            # extra per-chunk relay RTT is a constant across variants so the
+            # A/B delta is preserved.
             windows = []
+            chunk = 8
             for _ in range(3):
                 t0 = time.perf_counter()
-                outs = [
-                    fn(*inputs[i % n_inputs]) for i in range(args.iters)
-                ]
-                jax.block_until_ready(outs)
+                pending = []
+                for i in range(args.iters):
+                    pending.append(fn(*inputs[i % n_inputs]))
+                    if len(pending) == chunk:
+                        jax.block_until_ready(pending)
+                        pending.clear()
+                if pending:
+                    jax.block_until_ready(pending)
+                    pending.clear()
                 windows.append((time.perf_counter() - t0) / args.iters * 1000)
             print(
                 f"subtile={sub:<4d} w_major={int(w_major)}  "
