@@ -113,16 +113,9 @@ class Config:
     #                                  Gram matrices so normalize+relu fuses into the
     #                                  deconv epilogue (packed path only; train and
     #                                  parity runs can disable for exact round-2 math)
-    scatter_subtile: int = 0         # >0 (multiple of 8, typically 128): sub-tile-
-    #                                  skipping s2d canvas scatter kernel — empty
-    #                                  sub-tile row ranges skip their one-hot matmuls
-    #                                  (large-grid lever; see kernels/scatter_pallas)
-    fused_adam: bool = False         # optimizer update over ONE flattened param
-    #                                  vector (optax.flatten) instead of ~60 small
-    #                                  per-tensor fusions — train-step remainder A/B
-    matcher_skip: bool = False       # Pallas target matcher skips fully-masked
-    #                                  anchor tiles (scalar-prefetched occupancy
-    #                                  flags; bit-identical outputs) — train A/B
+    # (round-3 levers scatter_subtile / fused_adam / matcher_skip were
+    #  measured on-chip as regressions or no-wins — BASELINE.md "Round-3
+    #  final lever A/Bs" — and their surfaces deleted in round 4)
 
     # ---- derived (reference: framework/voxel_generator.py:7-15) ----
     detection_range: tuple[float, ...] = ()
@@ -264,9 +257,6 @@ def load_config(path: str | Path | dict, **overrides: Any) -> Config:
         head=get("head", "shared"),
         pack_w=bool(get("pack_w", True)),
         fuse_in_stats=bool(get("fuse_in_stats", True)),
-        scatter_subtile=int(get("scatter_subtile", 0)),
-        fused_adam=bool(get("fused_adam", False)),
-        matcher_skip=bool(get("matcher_skip", False)),
     )
     cfg = _with_derived(cfg)
     # The feature map is ALWAYS the voxel grid at half resolution: the shared

@@ -189,16 +189,6 @@ def export_torch_checkpoint(model_dir: str | Path, cfg, out_path: str | Path) ->
     torch_state: dict = {}
     if adam_step > 0:
         mu, nu = adam_s.mu, adam_s.nu
-        if not isinstance(mu, dict) and getattr(mu, "ndim", None) == 1:
-            # fused_adam (optax.flatten) keeps moments as one flat vector in
-            # tree-leaves order — unflatten against the params tree
-            leaves, treedef = jax.tree.flatten(np_vars["params"])
-            sizes = np.cumsum([leaf.size for leaf in leaves])[:-1]
-            unflat = lambda v: jax.tree.unflatten(  # noqa: E731
-                treedef,
-                [s.reshape(l.shape) for s, l in zip(np.split(np.asarray(v), sizes), leaves)],
-            )
-            mu, nu = unflat(mu), unflat(nu)
         zeros_bs = jax.tree.map(np.zeros_like, np_vars["batch_stats"])
         mu_sd = variables_to_state_dict({"params": jax.tree.map(np.asarray, mu),
                                          "batch_stats": zeros_bs})
@@ -324,22 +314,15 @@ def optimizer_state_to_moments(
     return step, mu, nu
 
 
-def _splice_adam_state(state, adam_step: int, mu, nu, fused: bool):
+def _splice_adam_state(state, adam_step: int, mu, nu):
     """Write imported Adam moments into a TrainState's optax chain
-    (clip_by_global_norm → inject_hyperparams(adam), optionally flattened)."""
+    (clip_by_global_norm → inject_hyperparams(adam))."""
     import jax
     import jax.numpy as jnp
 
     clip_s, inj = state.opt_state
     adam_s = inj.inner_state[0]
     tail = tuple(inj.inner_state[1:])
-    if fused:
-        # optax.flatten raveled the moment trees into one vector in
-        # tree-leaves order — flatten ours the same way
-        def flat(tree):
-            return jnp.concatenate([jnp.ravel(x) for x in jax.tree.leaves(tree)])
-
-        mu, nu = flat(mu), flat(nu)
     cast = lambda tmpl, new: jax.tree.map(  # noqa: E731
         lambda t, n: jnp.asarray(n, t.dtype).reshape(t.shape), tmpl, new)
     new_adam = adam_s._replace(
@@ -424,7 +407,6 @@ def import_torch_checkpoint(
     )
     if import_optimizer and opt_sd is not None:
         adam_step, mu, nu = optimizer_state_to_moments(opt_sd, sd)
-        state = _splice_adam_state(
-            state, adam_step, mu, nu, fused=bool(getattr(cfg, "fused_adam", False)))
+        state = _splice_adam_state(state, adam_step, mu, nu)
     CheckpointManager(model_dir).save(state)
     return step

@@ -76,24 +76,6 @@ def _gt_max_kernel(abv_ref, mask_ref, gt_bv_ref, gt_valid_ref, gmax_ref):
         gmax_ref[:] = jnp.maximum(gmax_ref[:], tile_max)
 
 
-def _gt_max_kernel_skip(flags_ref, abv_ref, mask_ref, gt_bv_ref, gt_valid_ref,
-                        gmax_ref):
-    """Tile-skipping pass 1: fully-masked anchor tiles contribute only -1s to
-    the running per-gt max (every pair is excluded), so initializing the
-    accumulator to -1 and folding in occupied tiles only is bit-identical to
-    the dense pass."""
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        gmax_ref[:] = jnp.full(gmax_ref.shape, -1.0, gmax_ref.dtype)
-
-    @pl.when(flags_ref[i] > 0)
-    def _():
-        ov = _iou_rows(abv_ref, gt_bv_ref, gt_valid_ref, mask_ref)
-        gmax_ref[:] = jnp.maximum(gmax_ref[:], jnp.max(ov, axis=1, keepdims=True))
-
-
 def _assign_tile(
     abv_ref, a_ref, mask_ref, gt_bv_ref, gt_t_ref, gt_valid_ref, gmax_ref,
     labels_ref, targets_ref, weights_ref, dir_ref,
@@ -166,42 +148,13 @@ def _assign_kernel(
     )
 
 
-def _assign_kernel_skip(
-    flags_ref, abv_ref, a_ref, mask_ref, gt_bv_ref, gt_t_ref, gt_valid_ref,
-    gmax_ref, labels_ref, targets_ref, weights_ref, dir_ref,
-    *, matched_threshold: float, unmatched_threshold: float,
-):
-    """Tile-skipping pass 2. A fully-masked tile's dense outputs are exactly
-    labels=-1 (included=false), targets=0 and weights=0 (fg=false — force
-    needs gmax>0 and excluded pairs sit at ov=-1), dir=(rot_anchor>0)
-    (the zero box target plus the anchor yaw) — written directly, the whole
-    IoU/argmax/one-hot-matmul/encode body skipped."""
-
-    @pl.when(flags_ref[pl.program_id(0)] > 0)
-    def _():
-        _assign_tile(
-            abv_ref, a_ref, mask_ref, gt_bv_ref, gt_t_ref, gt_valid_ref,
-            gmax_ref, labels_ref, targets_ref, weights_ref, dir_ref,
-            matched_threshold, unmatched_threshold,
-        )
-
-    @pl.when(flags_ref[pl.program_id(0)] == 0)
-    def _():
-        labels_ref[:] = jnp.full(labels_ref.shape, -1, jnp.int32)
-        targets_ref[:] = jnp.zeros(targets_ref.shape, targets_ref.dtype)
-        weights_ref[:] = jnp.zeros(weights_ref.shape, weights_ref.dtype)
-        dir_ref[:] = (a_ref[6:7, :] > 0).astype(jnp.int32)
-
-
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "matched_threshold", "unmatched_threshold", "skip_empty", "interpret",
-    ),
+    static_argnames=("matched_threshold", "unmatched_threshold", "interpret"),
 )
 def assign_class_pallas(
     anchors: jax.Array,        # (Ac, 7) f32
@@ -211,21 +164,14 @@ def assign_class_pallas(
     gt_valid: jax.Array,       # (G,) bool
     matched_threshold: float,
     unmatched_threshold: float,
-    skip_empty: bool = False,
     interpret: bool = False,
 ):
     """Fused one-class assignment. Returns (labels, bbox_targets_t, weights,
     dir_targets) exactly like targets._assign_one_class.
 
-    `skip_empty=True` precomputes a per-tile occupancy flag from the anchor
-    mask (one tiny XLA reduce) and scalar-prefetches it so fully-masked
-    anchor tiles skip both IoU passes entirely (their outputs are constants
-    — see _assign_kernel_skip). On chip this is bit-identical to the dense
-    path (occupied tiles run the same kernel body; empty tiles' dense
-    outputs are exact constants — asserted by tools/tpu_kernel_check.py);
-    in interpret mode the two separately-jitted XLA programs may differ at
-    float-rounding level. A train-step lever on radially-sparse clouds where
-    much of the grid is unoccupied (Config.matcher_skip)."""
+    (A round-3 tile-skipping variant that branched on scalar-prefetched
+    per-tile occupancy was measured on-chip as a no-win — BASELINE.md
+    "Round-3 final lever A/Bs" — and removed.)"""
     ac = anchors.shape[0]
     g = gt_boxes.shape[0]
     tile = 3200 if ac >= 3200 else _round_up(ac, 256)
@@ -248,13 +194,6 @@ def assign_class_pallas(
     gt_t = gt_boxes.T.astype(jnp.float32)                      # (7, G)
     gt_valid_f = gt_valid.astype(jnp.float32)[:, None]         # (G, 1)
 
-    if skip_empty:
-        # per-tile occupancy of the anchor mask — one tiny XLA reduce,
-        # scalar-prefetched to SMEM so the grid loop can branch on it
-        flags = (
-            jnp.max(mask_f.reshape(grid, tile), axis=1) > 0
-        ).astype(jnp.int32)
-
     gt_specs = [
         pl.BlockSpec((g, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((g, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -266,38 +205,14 @@ def assign_class_pallas(
         *gt_specs,
     ]
     gmax_out_spec = pl.BlockSpec((g, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    if skip_empty:
-        # PrefetchScalarGridSpec index_maps take (grid_idx..., scalar_ref)
-        gmax = pl.pallas_call(
-            _gt_max_kernel_skip,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(grid,),
-                in_specs=[
-                    pl.BlockSpec((4, tile), lambda i, f: (0, i),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, tile), lambda i, f: (0, i),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((g, 4), lambda i, f: (0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((g, 1), lambda i, f: (0, 0),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec((g, 1), lambda i, f: (0, 0),
-                                       memory_space=pltpu.VMEM),
-            ),
-            out_shape=jax.ShapeDtypeStruct((g, 1), jnp.float32),
-            interpret=interpret,
-        )(flags, *gmax_in)
-    else:
-        gmax = pl.pallas_call(
-            _gt_max_kernel,
-            grid=(grid,),
-            in_specs=gmax_in_specs,
-            out_specs=gmax_out_spec,
-            out_shape=jax.ShapeDtypeStruct((g, 1), jnp.float32),
-            interpret=interpret,
-        )(*gmax_in)
+    gmax = pl.pallas_call(
+        _gt_max_kernel,
+        grid=(grid,),
+        in_specs=gmax_in_specs,
+        out_specs=gmax_out_spec,
+        out_shape=jax.ShapeDtypeStruct((g, 1), jnp.float32),
+        interpret=interpret,
+    )(*gmax_in)
 
     assign_in = [abv_t, a_t, mask_f, gt_bv, gt_t, gt_valid_f, gmax]
     assign_out_shape = [
@@ -306,74 +221,32 @@ def assign_class_pallas(
         jax.ShapeDtypeStruct((1, ac_pad), jnp.float32),
         jax.ShapeDtypeStruct((1, ac_pad), jnp.int32),
     ]
-    if skip_empty:
-        kernel = functools.partial(
-            _assign_kernel_skip,
-            matched_threshold=matched_threshold,
-            unmatched_threshold=unmatched_threshold,
-        )
-        labels, targets_t, weights, dirs = pl.pallas_call(
-            kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(grid,),
-                in_specs=[
-                    pl.BlockSpec((4, tile), lambda i, f: (0, i),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((7, tile), lambda i, f: (0, i),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, tile), lambda i, f: (0, i),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((g, 4), lambda i, f: (0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((7, g), lambda i, f: (0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((g, 1), lambda i, f: (0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((g, 1), lambda i, f: (0, 0),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=[
-                    pl.BlockSpec((1, tile), lambda i, f: (0, i),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((7, tile), lambda i, f: (0, i),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, tile), lambda i, f: (0, i),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, tile), lambda i, f: (0, i),
-                                 memory_space=pltpu.VMEM),
-                ],
-            ),
-            out_shape=assign_out_shape,
-            interpret=interpret,
-        )(flags, *assign_in)
-    else:
-        kernel = functools.partial(
-            _assign_kernel,
-            matched_threshold=matched_threshold,
-            unmatched_threshold=unmatched_threshold,
-        )
-        labels, targets_t, weights, dirs = pl.pallas_call(
-            kernel,
-            grid=(grid,),
-            in_specs=[
-                pl.BlockSpec((4, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((7, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-                gt_specs[0],
-                pl.BlockSpec((7, g), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                gt_specs[1],
-                pl.BlockSpec((g, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((7, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            ],
-            out_shape=assign_out_shape,
-            interpret=interpret,
-        )(*assign_in)
+    kernel = functools.partial(
+        _assign_kernel,
+        matched_threshold=matched_threshold,
+        unmatched_threshold=unmatched_threshold,
+    )
+    labels, targets_t, weights, dirs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((4, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((7, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            gt_specs[0],
+            pl.BlockSpec((7, g), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            gt_specs[1],
+            pl.BlockSpec((g, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((7, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=assign_out_shape,
+        interpret=interpret,
+    )(*assign_in)
 
     return (
         labels[0, :ac],

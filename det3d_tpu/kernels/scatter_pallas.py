@@ -122,78 +122,13 @@ def _canvas_s2d_kernel(starts_ref, rows_ref, phase_ref, feats_ref, out_ref, *, t
     jax.lax.fori_loop(lo // _CHUNK, (hi + _CHUNK - 1) // _CHUNK, body, 0)
 
 
-def _canvas_s2d_subtile_kernel(
-    starts_ref, rows_ref, phase_ref, feats_ref, out_ref, *, tile: int, sub: int
-):
-    """Sub-tile-skipping variant of `_canvas_s2d_kernel`.
-
-    The plain kernel's MAC floor is `nrows·CHUNK·4C`: every canvas row joins
-    the one-hot compare of at least one K=128 chunk, even in regions with no
-    pillars at all. Real LiDAR clouds are radially concentrated, so at the
-    10 cm geometry (640k canvas rows, ≤20k pillars) most of that floor is
-    spent one-hot-matching empty rows. Here the output tile is walked in
-    `sub`-row sub-tiles with their own pillar ranges (`starts` is kept at
-    sub-tile granularity): an empty sub-tile stores zeros and runs NO matmul,
-    so the floor shrinks to `(#non-empty sub-tiles)·sub·CHUNK·4C` — paying
-    only where pillars actually land. The grid stays coarse (one output tile
-    of `tile` rows per step) so the per-step dispatch overhead does not grow
-    with the finer skip granularity; the sub-tile store offset is
-    `si·sub` — a declared multiple of `sub` ≥ 8, so the dynamic store stays
-    sublane-aligned for Mosaic."""
-    bi = pl.program_id(0)
-    k = pl.program_id(1)
-    nsub = tile // sub
-    cdim = feats_ref.shape[-1]
-
-    def sub_body(si, _):
-        lo = starts_ref[bi, k * nsub + si]
-        hi = starts_ref[bi, k * nsub + si + 1]
-        base = k * tile + si * sub
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (sub, _CHUNK), 0) + base
-
-        def chunk_body(j, acc):
-            a = pl.multiple_of(j * _CHUNK, _CHUNK)
-            rchunk = rows_ref[0, 0:1, pl.ds(a, _CHUNK)]     # (1, 128) int32
-            pchunk = phase_ref[0, 0:1, pl.ds(a, _CHUNK)]    # (1, 128) int32
-            fchunk = feats_ref[0, pl.ds(a, _CHUNK), :]      # (128, C)
-            wide = jnp.concatenate(
-                [
-                    jnp.where(pchunk.T == p, fchunk, jnp.zeros_like(fchunk))
-                    for p in (0, 1, 2, 3)
-                ],
-                axis=1,
-            )                                               # (128, 4C)
-            onehot = (row_ids == rchunk).astype(fchunk.dtype)
-            return acc + jax.lax.dot_general(
-                onehot, wide, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        # an empty range (lo == hi) must run ZERO chunks — the naive
-        # lo//C .. ceil(hi/C) bounds still run one matmul whenever lo is
-        # not chunk-aligned, which at ~50% occupancy would halve the
-        # whole point of the sub-tile skip
-        acc = jax.lax.fori_loop(
-            lo // _CHUNK,
-            jnp.where(hi > lo, (hi + _CHUNK - 1) // _CHUNK, lo // _CHUNK),
-            chunk_body,
-            jnp.zeros((sub, 4 * cdim), jnp.float32),
-        )
-        off = pl.multiple_of(si * sub, sub)
-        out_ref[0, pl.ds(off, sub), :] = acc.astype(out_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, nsub, sub_body, 0)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def scatter_to_bev_s2d_pallas(
     pillar_features: jax.Array,  # (B, V, C)
     coors: jax.Array,            # (B, V, 3) int32, -1 rows dropped
     grid_xy: tuple[int, int],
     interpret: bool = False,
     w_major: bool = False,
-    subtile: int = 0,
 ) -> jax.Array:                  # (B, nx/2, ny/2, 4C)
     """Pillar scatter directly into the 4-phase space-to-depth canvas
     (phase = (x%2)·2 + y%2, channel block phase·C) consumed by the packed
@@ -208,26 +143,22 @@ def scatter_to_bev_s2d_pallas(
     copy between the custom call and the conv disappears. Train-path
     callers (space-to-batch fenced out) keep the default H-major order.
 
-    `subtile` > 0 (a multiple of 8; 128 is the natural choice) switches to
-    the sub-tile-skipping kernel (`_canvas_s2d_subtile_kernel`): empty
-    `subtile`-row canvas ranges skip their one-hot matmuls entirely instead
-    of paying the dense per-tile MAC floor — a large-grid (10 cm) lever,
-    config-gated as `Config.scatter_subtile` for A/B."""
-    return _scatter_s2d_fwd_impl(
-        pillar_features, coors, grid_xy, interpret, w_major, subtile
-    )
+    (A round-3 sub-tile-skipping variant — empty row ranges skipping their
+    one-hot matmuls via dynamic fori_loop bounds — measured SLOWER than this
+    dense kernel at every setting on chip: the data-dependent trip counts
+    defeat Mosaic's static pipelining. BASELINE.md "Round-3 final lever
+    A/Bs"; deleted in round 4.)"""
+    return _scatter_s2d_fwd_impl(pillar_features, coors, grid_xy, interpret, w_major)
 
 
-def _scatter_s2d_fwd(pillar_features, coors, grid_xy, interpret, w_major, subtile):
+def _scatter_s2d_fwd(pillar_features, coors, grid_xy, interpret, w_major):
     return (
-        _scatter_s2d_fwd_impl(
-            pillar_features, coors, grid_xy, interpret, w_major, subtile
-        ),
+        _scatter_s2d_fwd_impl(pillar_features, coors, grid_xy, interpret, w_major),
         coors,
     )
 
 
-def _scatter_s2d_bwd(grid_xy, interpret, w_major, subtile, coors, g):
+def _scatter_s2d_bwd(grid_xy, interpret, w_major, coors, g):
     # 4D gather straight off the (B, nx/2, ny/2, 4, C) cotangent — only the
     # minor-axis (4C)→(4,C) split, which is layout-free. A flat
     # (B, nrows·4, C) reshape here forced full-canvas relayout copies under
@@ -248,31 +179,21 @@ def _scatter_s2d_bwd(grid_xy, interpret, w_major, subtile, coors, g):
 scatter_to_bev_s2d_pallas.defvjp(_scatter_s2d_fwd, _scatter_s2d_bwd)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("grid_xy", "interpret", "w_major", "subtile")
-)
+@functools.partial(jax.jit, static_argnames=("grid_xy", "interpret", "w_major"))
 def _scatter_s2d_fwd_impl(
     pillar_features: jax.Array,
     coors: jax.Array,
     grid_xy: tuple[int, int],
     interpret: bool = False,
     w_major: bool = False,
-    subtile: int = 0,
 ) -> jax.Array:
     nx, ny = grid_xy
     assert nx % 2 == 0 and ny % 2 == 0
     b, v, c = pillar_features.shape
     nx2, ny2 = nx // 2, ny // 2
     nrows = nx2 * ny2
-    if subtile:
-        assert subtile % 8 == 0, "subtile must be sublane-aligned (multiple of 8)"
-        # coarse output tile (bounded VMEM block, few grid steps), fine
-        # skip/starts granularity; any tile works — the canvas rows pad up
-        tile = subtile * min(16, -(-nrows // subtile))
-        bgran = subtile  # starts at sub-tile granularity
-    else:
-        tile = _pick_tile(nrows, cap=2000)
-        bgran = tile
+    tile = _pick_tile(nrows, cap=2000)
+    bgran = tile
     nrows_pad = -(-nrows // tile) * tile  # invalid pillars land in [nrows, pad)
     ntiles = nrows_pad // tile
     vpad = ((v + _CHUNK - 1) // _CHUNK) * _CHUNK
@@ -300,12 +221,7 @@ def _scatter_s2d_fwd_impl(
 
     starts, rows_s, phase_s, feats_s = jax.vmap(prep)(pillar_features, coors)
 
-    if subtile:
-        kernel = functools.partial(
-            _canvas_s2d_subtile_kernel, tile=tile, sub=subtile
-        )
-    else:
-        kernel = functools.partial(_canvas_s2d_kernel, tile=tile)
+    kernel = functools.partial(_canvas_s2d_kernel, tile=tile)
     canvas = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

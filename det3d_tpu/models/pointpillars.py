@@ -990,8 +990,7 @@ class PointPillars(nn.Module):
                 # fences space-to-batch out (train/trainer.py) and keeps the
                 # H-major order the unfenced convs prefer.
                 canvas = scatter_to_bev_s2d_pallas(
-                    pillar_features, coors, grid_xy, False, not train,
-                    getattr(self.cfg, "scatter_subtile", 0),
+                    pillar_features, coors, grid_xy, False, not train
                 )
             else:
                 canvas = scatter_to_bev_s2d(pillar_features, coors, grid_xy)

@@ -117,13 +117,10 @@ def make_target_assigner(cfg: Config, anchor_set: AnchorSet, use_pallas: bool | 
     `use_pallas`: route the per-class assignment through the fused
     matrix-free Pallas matcher (kernels/matcher_pallas.py) instead of the
     dense-IoU XLA path; default on TPU. Results are elementwise identical
-    (tests/test_targets.py::TestPallasMatcher). `cfg.matcher_skip`
-    additionally skips fully-masked anchor tiles inside the Pallas matcher
-    (bit-identical outputs; see assign_class_pallas).
+    (tests/test_targets.py::TestPallasMatcher).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    skip_empty = bool(getattr(cfg, "matcher_skip", False))
     nch = anchor_set.num_channels
     channels = [anchor_set.class_channels[s.name] for s in cfg.class_specs]
     class_anchors = [
@@ -154,7 +151,7 @@ def make_target_assigner(cfg: Config, anchor_set: AnchorSet, use_pallas: bool | 
 
                 lab, tgt, w, d = assign_class_pallas(
                     anchors, anchors_bv, anchors_mask[c0:c1].reshape(-1),
-                    gt_boxes, cls_valid, mth, uth, skip_empty=skip_empty
+                    gt_boxes, cls_valid, mth, uth
                 )
             else:
                 lab, tgt, w, d = _assign_one_class(

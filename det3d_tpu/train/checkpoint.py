@@ -90,17 +90,4 @@ def load_latest_state(cfg, model_dir: str | Path, detector=None) -> TrainState:
     if not mgr.has_latest():
         raise FileNotFoundError(f"no latest checkpoint under {model_dir}")
     template = Trainer(cfg, detector).init_state(jax.random.PRNGKey(0))
-    try:
-        return mgr.restore_latest(template)
-    except Exception as first_err:
-        # fused_adam changes the opt_state tree (flat moment vectors vs
-        # per-tensor); weights-only consumers must not be blocked by an
-        # optimizer-lever mismatch between the saving and loading configs —
-        # retry with the lever flipped, but surface the ORIGINAL error if
-        # the retry fails too (a corrupt checkpoint is not a lever problem)
-        flipped = cfg.replace(fused_adam=not getattr(cfg, "fused_adam", False))
-        template = Trainer(flipped, detector).init_state(jax.random.PRNGKey(0))
-        try:
-            return mgr.restore_latest(template)
-        except Exception:
-            raise first_err
+    return mgr.restore_latest(template)

@@ -76,12 +76,6 @@ class Trainer:
         # lr lives inside opt_state (inject_hyperparams) so a resumed run can
         # override it, as the reference does on restore (train.py:76)
         inner = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.learning_rate)
-        if getattr(cfg, "fused_adam", False):
-            # one flattened-vector Adam update instead of ~60 per-tensor
-            # fusions (elementwise math identical; optax.flatten preserves
-            # the inner state, so override_lr keeps working) — train-step
-            # remainder A/B, Config.fused_adam
-            inner = optax.flatten(inner)
         self.optimizer = optax.chain(optax.clip_by_global_norm(10.0), inner)
 
     @staticmethod

@@ -9,16 +9,16 @@ batch-1 inference, split-head wins at 20 cm and loses at 10 cm):
   inference-path levers (measured on the fused pipeline):
     pack_w          w-parity packed block0 (column parity folded weight-side)
     fuse_in_stats   upsample-branch Gram IN statistics
-    scatter_subtile sub-tile-skipping s2d one-hot scatter (TPU Pallas only)
   train-path levers (measured on the optimizer step):
-    scatter_subtile (same kernel under the training graph)
-    matcher_skip    Pallas target matcher skips fully-masked anchor tiles
-    fused_adam      single flattened-vector Adam update
+    pack_w          (same packing under the training graph)
+
+(Round-3 carried three more levers — scatter_subtile, matcher_skip,
+fused_adam; all were measured on-chip as regressions or no-wins and their
+surfaces deleted — BASELINE.md "Round-3 final lever A/Bs".)
 
 All candidates are SEMANTICS-PRESERVING — each lever has an elementwise
-equality or golden test in tests/ (test_model.py s2d-subtile parity,
-test_targets.py matcher-skip equality, test_train_overfit.py fused-Adam
-trajectory) — so tuning is purely a wall-clock decision.
+equality or golden test in tests/ — so tuning is purely a wall-clock
+decision.
 
 Greedy protocol per mode: measure the current config, then flip one lever
 at a time (carrying previous winners) and keep a flip only when it beats
@@ -54,9 +54,6 @@ from det3d_tpu.config import Config, load_config
 LEVERS = (
     ("pack_w", (True, False), ("infer", "train"), False),
     ("fuse_in_stats", (True, False), ("infer",), False),
-    ("scatter_subtile", (0, 128), ("infer", "train"), True),
-    ("matcher_skip", (False, True), ("train",), True),
-    ("fused_adam", (False, True), ("train",), False),
 )
 
 

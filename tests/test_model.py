@@ -453,63 +453,6 @@ class TestScatterPallas:
         )
         np.testing.assert_array_equal(got_wm, ref)
 
-    def test_s2d_subtile_matches_plain(self):
-        """Sub-tile-skipping s2d kernel (interpret) is element-identical to
-        the plain s2d kernel and the XLA scatter, in both row orders."""
-        import jax.numpy as jnp
-
-        from det3d_tpu.kernels.scatter_pallas import scatter_to_bev_s2d_pallas
-
-        r = np.random.RandomState(7)
-        b, v, c, nx, ny = 2, 57, 8, 12, 20
-        feats = r.randn(b, v, c).astype(np.float32)
-        coors = np.full((b, v, 3), -1, np.int32)
-        for bi in range(b):
-            # cluster in a corner so whole sub-tiles are genuinely empty
-            cells = r.choice((nx * ny) // 3, 40, replace=False)
-            coors[bi, :40, 0] = cells // ny
-            coors[bi, :40, 1] = cells % ny
-            coors[bi, :40, 2] = 0
-        ref = np.asarray(
-            scatter_to_bev_s2d(jnp.asarray(feats), jnp.asarray(coors), (nx, ny))
-        )
-        for w_major in (False, True):
-            got = np.asarray(
-                scatter_to_bev_s2d_pallas(
-                    jnp.asarray(feats), jnp.asarray(coors), (nx, ny),
-                    True, w_major, 8,
-                )
-            )
-            np.testing.assert_array_equal(got, ref)
-
-    def test_s2d_subtile_grad_matches_xla(self):
-        import jax
-        import jax.numpy as jnp
-
-        from det3d_tpu.kernels.scatter_pallas import scatter_to_bev_s2d_pallas
-
-        r = np.random.RandomState(11)
-        b, v, c, nx, ny = 1, 16, 4, 8, 8
-        feats = jnp.asarray(r.randn(b, v, c).astype(np.float32))
-        coors = np.full((b, v, 3), -1, np.int32)
-        cells = r.choice(nx * ny, 12, replace=False)
-        coors[0, :12, 0] = cells // ny
-        coors[0, :12, 1] = cells % ny
-        coors[0, :12, 2] = 0
-        coors = jnp.asarray(coors)
-        w = jnp.asarray(r.randn(nx // 2, ny // 2, 4 * c).astype(np.float32))
-
-        gs = jax.grad(
-            lambda f: jnp.sum(
-                jnp.tanh(scatter_to_bev_s2d_pallas(f, coors, (nx, ny), True, False, 8))
-                * w
-            )
-        )(feats)
-        gx = jax.grad(
-            lambda f: jnp.sum(jnp.tanh(scatter_to_bev_s2d(f, coors, (nx, ny))) * w)
-        )(feats)
-        np.testing.assert_allclose(np.asarray(gs), np.asarray(gx), atol=1e-6)
-
     def test_s2d_grad_matches_xla(self):
         import jax
         import jax.numpy as jnp

@@ -289,13 +289,12 @@ class TestModelParity:
         for got, exp in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
             np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
 
-    @pytest.mark.parametrize("fused", [False, True])
-    def test_optimizer_state_roundtrips_through_export(self, ref, tmp_path, fused):
+    def test_optimizer_state_roundtrips_through_export(self, ref, tmp_path):
         """Stepped Adam moments survive torch → framework → torch: exporting
         an imported 3-step checkpoint reproduces each parameter's exp_avg /
         exp_avg_sq and step under torch's own parameter indexing."""
         ref_net, _ = ref
-        cfg = _small_parity_cfg().replace(fused_adam=fused)
+        cfg = _small_parity_cfg()
         net = _make_torch_model(ref_net, cfg, seed=31)
         tparams = list(net.parameters())
         topt = torch.optim.Adam(tparams, lr=7e-4)
@@ -337,18 +336,17 @@ class TestModelParity:
         net2.load_state_dict(out["model_state_dict"], strict=True)
         torch.optim.Adam(net2.parameters(), lr=7e-4).load_state_dict(got)
 
-    @pytest.mark.parametrize("fused", [False, True])
-    def test_import_optimizer_state_resumes_adam(self, ref, tmp_path, fused):
+    def test_import_optimizer_state_resumes_adam(self, ref, tmp_path):
         """A migrated run resumes MID-TRAJECTORY: after importing a .pth with
         3 steps of torch Adam state, our very next optimizer step (the
-        trainer's clip+Adam chain, plain or fused) produces the same
+        trainer's clip+Adam chain) produces the same
         parameters as torch's 4th step — moments, bias-correction count, and
         layout transforms all have to line up for this to hold."""
         import optax
 
         ref_net, _ = ref
         lr = 7e-4
-        cfg = _small_parity_cfg().replace(learning_rate=lr, fused_adam=fused)
+        cfg = _small_parity_cfg().replace(learning_rate=lr)
         net = _make_torch_model(ref_net, cfg, seed=21)
         tparams = [p for p in net.parameters()]
         topt = torch.optim.Adam(tparams, lr=lr)

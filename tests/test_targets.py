@@ -164,69 +164,6 @@ class TestPallasMatcher:
             np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(ref[2]))
             np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
 
-    @pytest.mark.parametrize("mask_mode", ["tile0_empty", "sparse", "all_empty"])
-    def test_skip_empty_matches_dense(self, mask_mode):
-        """The tile-skipping variant (Config.matcher_skip) must be
-        bit-identical to the dense Pallas matcher, including when the FIRST
-        tile is empty (accumulator init) and when EVERY tile is empty.
-        Fabricated multi-tile anchor set: small_cfg packs each class into a
-        single tile, which would never exercise the skip branch boundaries."""
-        import jax.numpy as jnp
-
-        from det3d_tpu.kernels.matcher_pallas import assign_class_pallas
-        from det3d_tpu.ops.geometry import rbbox2d_to_near_bbox
-
-        r = np.random.RandomState(7)
-        ac = 6400  # two 3200-anchor tiles
-        anchors = np.zeros((ac, 7), np.float32)
-        anchors[:, :2] = r.uniform(-20, 20, (ac, 2))
-        anchors[:, 2] = -1.0
-        anchors[:, 3:6] = r.uniform(0.5, 5.0, (ac, 3))
-        anchors[:, 6] = r.choice([0.0, np.pi / 2], ac)
-        anchors_bv = np.asarray(
-            rbbox2d_to_near_bbox(jnp.asarray(anchors[:, [0, 1, 3, 4, 6]]))
-        )
-
-        gt = np.zeros((8, 7), np.float32)
-        gt[:, :2] = r.uniform(-15, 15, (8, 2))
-        gt[:, 2] = r.uniform(-1.5, 0.0, 8)
-        gt[:, 3:6] = r.uniform(1.0, 5.0, (8, 3))
-        gt[:, 6] = r.uniform(-np.pi, np.pi, 8)
-        gt_valid = np.ones(8, bool)
-
-        mask = np.zeros(ac, bool)
-        if mask_mode == "tile0_empty":
-            mask[3200:] = r.rand(3200) > 0.4
-        elif mask_mode == "sparse":
-            mask = r.rand(ac) > 0.5
-            mask[3200:] = False  # second tile fully empty
-        # all_empty: leave every tile masked out
-
-        args = (
-            jnp.asarray(anchors), jnp.asarray(anchors_bv), jnp.asarray(mask),
-            jnp.asarray(gt), jnp.asarray(gt_valid), 0.6, 0.45,
-        )
-        ref = assign_class_pallas(*args, interpret=True)
-        got = assign_class_pallas(*args, skip_empty=True, interpret=True)
-        # int outputs exact; float targets to float-rounding tolerance — in
-        # interpret mode the two variants are separately-jitted XLA programs
-        # whose fusion/FMA choices can differ at ~1e-8 (on-chip bit-equality
-        # is asserted by tools/tpu_kernel_check.py, where both tile bodies
-        # compile to the same Mosaic kernel)
-        np.testing.assert_array_equal(
-            np.asarray(got[0]), np.asarray(ref[0]), err_msg=f"labels ({mask_mode})"
-        )
-        np.testing.assert_allclose(
-            np.asarray(got[1]), np.asarray(ref[1]), rtol=1e-6, atol=1e-6,
-            err_msg=f"targets ({mask_mode})",
-        )
-        np.testing.assert_array_equal(
-            np.asarray(got[2]), np.asarray(ref[2]), err_msg=f"weights ({mask_mode})"
-        )
-        np.testing.assert_array_equal(
-            np.asarray(got[3]), np.asarray(ref[3]), err_msg=f"dir ({mask_mode})"
-        )
-
     def test_no_valid_gt(self):
         import jax.numpy as jnp
 

@@ -27,15 +27,6 @@ def main() -> None:
     ap.add_argument("--pack-w", type=int, default=None,
                     help="override cfg.pack_w (packing is weight-side only, "
                     "so the trainer may pick whichever direction is faster)")
-    ap.add_argument("--scatter-subtile", type=int, default=None,
-                    help="override cfg.scatter_subtile (0 = dense-tile s2d "
-                    "kernel, 128 = sub-tile-skipping variant)")
-    ap.add_argument("--fused-adam", type=int, default=None,
-                    help="override cfg.fused_adam (1 = single flattened-"
-                    "vector Adam update, optimizer-remainder A/B)")
-    ap.add_argument("--matcher-skip", type=int, default=None,
-                    help="override cfg.matcher_skip (1 = Pallas matcher "
-                    "skips fully-masked anchor tiles)")
     args = ap.parse_args()
 
     import jax
@@ -53,12 +44,6 @@ def main() -> None:
     overrides = {}
     if args.pack_w is not None:
         overrides["pack_w"] = bool(args.pack_w)
-    if args.scatter_subtile is not None:
-        overrides["scatter_subtile"] = args.scatter_subtile
-    if args.fused_adam is not None:
-        overrides["fused_adam"] = bool(args.fused_adam)
-    if args.matcher_skip is not None:
-        overrides["matcher_skip"] = bool(args.matcher_skip)
     cfg = load_config(args.config, max_points=120_000, batch_size=args.batch,
                       **overrides)
     trainer = Trainer(cfg)

@@ -6,12 +6,20 @@ a Pallas custom call, which the axon relay executes eagerly under
 Distinct input buffers are cycled so the relay cannot dedupe repeats.
 
     JAX_COMPILATION_CACHE_DIR=/root/.jax_cache python tools/scatter_ab.py \
-        [--grid 1600] [--pillars 20000] [--subtiles 0,128,256]
+        [--grid 1600] [--pillars 20000] [--chunk 8]
 
-Prints per-variant best-of-3 window averages for the forward scatter at the
-given geometry, with a radially-concentrated pillar distribution like the
-bench clouds (the sub-tile kernel's win depends on empty-region skipping,
-so uniform-random pillars would understate it).
+Prints per-variant (w_major on/off) best-of-3 window averages for the
+forward scatter at the given geometry, with a radially-concentrated pillar
+distribution like the bench clouds.
+
+NOTE on absolute numbers: results are synced every `--chunk` outstanding
+outputs (at the 1600 grid each canvas is ~330 MB bf16 and 32 outstanding
+OOMed the 16 GB chip, 2026-08-19), so every window carries iters/chunk
+relay round-trips (~30 ms each on the axon tunnel ≈ 3-4 ms/iter at the
+defaults). The overhead is constant across variants, so A/B deltas are
+preserved, but values are NOT comparable across different --chunk settings
+or to fully-pipelined runs. This is how round 3's subtile-kernel A/B was
+read (and the kernel correctly rejected — BASELINE.md).
 """
 
 import argparse
@@ -42,9 +50,11 @@ def main() -> None:
     ap.add_argument("--pillars", type=int, default=20000)
     ap.add_argument("--cap", type=int, default=20000, help="max_voxels row count")
     ap.add_argument("--channels", type=int, default=64)
-    ap.add_argument("--subtiles", default="0,128,256")
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--chunk", type=int, default=8,
+                    help="sync every N outstanding outputs (VMEM/HBM bound; "
+                    "each sync is ~1 relay RTT included in the window)")
     args = ap.parse_args()
 
     import jax
@@ -56,6 +66,9 @@ def main() -> None:
     except Exception:
         pass
     print("backend:", jax.default_backend())
+    n_syncs = -(-args.iters // args.chunk)
+    print(f"chunked sync: {args.chunk} outstanding, {n_syncs} syncs/window "
+          f"(~{n_syncs * 30 / args.iters:.1f} ms/iter relay overhead included)")
 
     from det3d_tpu.kernels.scatter_pallas import scatter_to_bev_s2d_pallas
 
@@ -80,44 +93,37 @@ def main() -> None:
         )
 
     ref = None
-    for sub in [int(s) for s in args.subtiles.split(",")]:
-        for w_major in ((False, True) if b == 1 else (False,)):
-            fn = jax.jit(
-                lambda f, cr, sub=sub, wm=w_major: scatter_to_bev_s2d_pallas(
-                    f, cr, (g, g), False, wm, sub
-                )
+    for w_major in (False, True) if b == 1 else (False,):
+        fn = jax.jit(
+            lambda f, cr, wm=w_major: scatter_to_bev_s2d_pallas(
+                f, cr, (g, g), False, wm
             )
-            out = fn(*inputs[0])
-            jax.block_until_ready(out)
-            got = np.asarray(out, np.float32)
-            if ref is None:
-                ref = got
-            else:
-                np.testing.assert_array_equal(got, ref)  # all variants agree
-            # sync in chunks: at the 1600 grid each s2d output canvas is
-            # ~330 MB bf16, and 32 outstanding results OOMed the 16 GB chip
-            # (RESOURCE_EXHAUSTED, 2026-08-19). 8 outstanding ≈ 2.6 GB; the
-            # extra per-chunk relay RTT is a constant across variants so the
-            # A/B delta is preserved.
-            windows = []
-            chunk = 8
-            for _ in range(3):
-                t0 = time.perf_counter()
-                pending = []
-                for i in range(args.iters):
-                    pending.append(fn(*inputs[i % n_inputs]))
-                    if len(pending) == chunk:
-                        jax.block_until_ready(pending)
-                        pending.clear()
-                if pending:
+        )
+        out = fn(*inputs[0])
+        jax.block_until_ready(out)
+        got = np.asarray(out, np.float32)
+        if ref is None:
+            ref = got
+        else:
+            np.testing.assert_array_equal(got, ref)  # all variants agree
+        windows = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pending = []
+            for i in range(args.iters):
+                pending.append(fn(*inputs[i % n_inputs]))
+                if len(pending) == args.chunk:
                     jax.block_until_ready(pending)
                     pending.clear()
-                windows.append((time.perf_counter() - t0) / args.iters * 1000)
-            print(
-                f"subtile={sub:<4d} w_major={int(w_major)}  "
-                f"best {min(windows):7.3f} ms  windows "
-                + " ".join(f"{w:.3f}" for w in windows)
-            )
+            if pending:
+                jax.block_until_ready(pending)
+                pending.clear()
+            windows.append((time.perf_counter() - t0) / args.iters * 1000)
+        print(
+            f"w_major={int(w_major)}  "
+            f"best {min(windows):7.3f} ms  windows "
+            + " ".join(f"{w:.3f}" for w in windows)
+        )
 
 
 if __name__ == "__main__":

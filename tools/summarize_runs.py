@@ -15,21 +15,17 @@ import re
 from pathlib import Path
 
 FILES = {
-    "kernel check": ("r3m_kcheck.log", "tail"),
-    "scatter A/B": ("r3m_scatter_ab.log", "all"),
-    "bench 20cm (+10cm extra)": ("r3m_bench.json", "json"),
-    "bench 10cm subtile=128": ("r3m_bench_st128.json", "json"),
-    "train bench b=2": ("r3m_bench_train_b2.log", "train"),
-    "train bench b=8": ("r3m_bench_train_b8.log", "train"),
-    "followup A/Bs": ("r3_followup.log", "train"),
-    "A/B fused_adam": ("r3f_fused.log", "train"),
-    "A/B matcher_skip": ("r3f_mskip.log", "train"),
-    "A/B fused+mskip": ("r3f_both.log", "train"),
-    "trace 10cm (top sites)": ("r3m_trace_10cm.log", "trace"),
-    "trace train (top sites)": ("r3m_trace_train.log", "trace"),
-    "learning validation": ("r3m_lv.log", "tail"),
-    "tune 20cm": ("r3_tune_after.log", "tune"),
-    "tune report": ("r3_tune_report.json", "json"),
+    # round-4 chain (/tmp/r4a_chain.sh)
+    "kernel check": ("r4_kcheck.log", "tail"),
+    "bench 20cm (+10cm extra)": ("r4_bench.json", "json"),
+    "trace 10cm (top sites)": ("r4_trace_10cm.log", "trace"),
+    "trace train (top sites)": ("r4_trace_train.log", "trace"),
+    "learning validation lr=1e-3": ("r4_lv_lr1e3.log", "tail"),
+    "tune 20cm": ("r4_tune_20cm.log", "tune"),
+    "tune 20cm report": ("r4_tune_20cm.json", "json"),
+    "tune 10cm": ("r4_tune_10cm.log", "tune"),
+    "tune 10cm report": ("r4_tune_10cm.json", "json"),
+    "chain progress": ("r4_chain.log", "tail"),
 }
 
 TRAIN_RE = re.compile(r"(ms/step|pipelined|==|rc=|loss=)")

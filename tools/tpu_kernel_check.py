@@ -63,18 +63,7 @@ def main() -> None:
     np.testing.assert_array_equal(got_wm, want)
     print("scatter_to_bev_s2d_pallas (+w_major): OK")
 
-    # --- sub-tile-skipping s2d kernel: dynamic sub-tile stores (si·sub
-    # offsets) + per-sub-tile chunk loops must lower on Mosaic at BOTH
-    # production geometries (20cm here, 10cm below) ------------------------
-    for w_major in (False, True):
-        out = scatter_to_bev_s2d_pallas(
-            feats, jnp.asarray(coors), (nx, ny), False, w_major, 128
-        )
-        out.block_until_ready()
-        got_st = np.asarray(out[0], np.float32).reshape((nx // 2) * (ny // 2), 4, c)
-        np.testing.assert_array_equal(got_st, want)
-    print("scatter_to_bev_s2d_pallas subtile=128 (+w_major): OK")
-
+    # --- s2d kernel at the 10cm production grid (1600², w_major) ----------
     v10, n10 = 20000, 1600
     feats10 = jnp.asarray(r.randn(1, v10, c), jnp.bfloat16)
     coors10 = np.full((1, v10, 3), -1, np.int32)
@@ -83,7 +72,7 @@ def main() -> None:
     coors10[0, :18000, 1] = cells10 % n10
     coors10[0, :18000, 2] = 0
     out = scatter_to_bev_s2d_pallas(
-        feats10, jnp.asarray(coors10), (n10, n10), False, True, 128
+        feats10, jnp.asarray(coors10), (n10, n10), False, True
     )
     out.block_until_ready()
     got10 = np.asarray(out[0], np.float32).reshape((n10 // 2) * (n10 // 2), 4, c)
@@ -93,7 +82,7 @@ def main() -> None:
         np.asarray(feats10[0, :18000], np.float32)
     )
     np.testing.assert_array_equal(got10, want10)
-    print("scatter_to_bev_s2d_pallas subtile=128 @10cm grid: OK")
+    print("scatter_to_bev_s2d_pallas @10cm grid: OK")
 
     # --- batch-2 (training shape): Mosaic's last-two-block-dims rule differs
     # for B>1 arrays — a b=1-only check once passed while the train step
@@ -164,25 +153,6 @@ def main() -> None:
     )
     jax.block_until_ready((lab, tgt, wts, dirs))
     print("assign_class_pallas: OK  pos=", int((np.asarray(lab) > 0).sum()))
-
-    # --- tile-skipping matcher (Config.matcher_skip): scalar-prefetched
-    # occupancy flags + pl.when-predicated IoU passes must lower on Mosaic;
-    # outputs must equal the dense kernel with tiles empty + occupied mixed ---
-    mask_np = np.zeros(ac, bool)
-    mask_np[: ac // 2] = np.asarray(r.rand(ac // 2) < 0.3)  # back half empty
-    mask_sk = jnp.asarray(mask_np)
-    dense = assign_class_pallas(
-        jnp.asarray(anchors), abv, mask_sk, jnp.asarray(gt),
-        jnp.asarray(gt_valid), 0.6, 0.45,
-    )
-    skip = assign_class_pallas(
-        jnp.asarray(anchors), abv, mask_sk, jnp.asarray(gt),
-        jnp.asarray(gt_valid), 0.6, 0.45, skip_empty=True,
-    )
-    jax.block_until_ready(skip)
-    for d_arr, s_arr in zip(dense, skip):
-        np.testing.assert_array_equal(np.asarray(d_arr), np.asarray(s_arr))
-    print("assign_class_pallas skip_empty: OK (bit-identical to dense)")
 
     # --- NMS kernel at production shape --------------------------------------
     from det3d_tpu.kernels.nms_pallas import greedy_nms_pallas
