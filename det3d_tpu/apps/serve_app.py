@@ -82,14 +82,18 @@ class PointCloudServer:
         )
 
     def spin(self, max_frames: int | None = None, on_result=None) -> None:
-        """Consumer loop (reference ros_node.py:61-83)."""
+        """Consumer loop (reference ros_node.py:61-83). After stop() the
+        loop drains frames already queued (at most queue_size) before
+        exiting — the sensor stopping must not discard what it produced."""
         served = 0
-        while not self._stop.is_set():
+        while True:
             if max_frames is not None and served >= max_frames:
                 break
             try:
                 points, stamp = self.queue.get(timeout=0.5)
             except queue.Empty:
+                if self._stop.is_set():
+                    break
                 continue
             padded, n = self.detector.pad_points(points)
             det = self.infer_fn(self.variables, padded, n)
@@ -128,13 +132,7 @@ def serve_synthetic(
         print(f"serving spatially partitioned over {mesh.devices.size} devices")
     else:
         det = Detector(cfg)
-    if checkpoint:
-        from det3d_tpu.train.checkpoint import load_latest_state
-
-        state = load_latest_state(cfg, checkpoint, det)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-    else:
-        variables = det.init_variables(jax.random.PRNGKey(0))
+    variables = _load_variables(cfg, det, checkpoint)
     server = PointCloudServer(cfg, variables, detector=det, infer_fn=infer_fn)
 
     server.warmup()
@@ -148,6 +146,121 @@ def serve_synthetic(
             scene = sample_scene(cfg, rng)
             server.submit(scene["points"])
             time.sleep(period)
+        server.stop()
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    server.spin()
+    t.join()
+    lat = np.asarray(server.latencies) * 1e3
+    if len(lat):
+        print(
+            f"latency over {len(lat)} frames: p50 {np.percentile(lat, 50):.1f} ms  "
+            f"p95 {np.percentile(lat, 95):.1f} ms  max {lat.max():.1f} ms"
+        )
+    return server.latencies
+
+
+def _load_variables(cfg: Config, det: Detector, checkpoint: str | None):
+    if checkpoint:
+        from det3d_tpu.train.checkpoint import load_latest_state
+
+        state = load_latest_state(cfg, checkpoint, det)
+        return {"params": state.params, "batch_stats": state.batch_stats}
+    return det.init_variables(jax.random.PRNGKey(0))
+
+
+def serve_replay(
+    cfg: Config,
+    replay_dir: str,
+    *,
+    checkpoint: str | None = None,
+    hz: float = 10.0,
+    frames: int | None = None,
+    loop: bool = False,
+    spatial: bool = False,
+) -> list[float]:
+    """Replay a directory of raw `.bin` point-cloud files through the server
+    at a fixed rate — the real-IO counterpart of `serve_synthetic` and the
+    headless stand-in for the reference's live ROS feed (ros_node.py:61-83:
+    the spin loop consumes whatever the sensor produced last; here the
+    sensor is the recorded drive).
+
+    Disk reads + pad-to-max run in the C++ async loader's threads
+    (runtime/pointcloud_loader.cc) ahead of the producer clock, so the
+    `hz` pacing measures serving latency, not disk latency; falls back to
+    `np.fromfile` when the native loader can't build. `loop=True` cycles
+    the directory until `frames` have been submitted."""
+    from pathlib import Path
+
+    paths = sorted(Path(replay_dir).glob("*.bin"))
+    if not paths:
+        raise FileNotFoundError(f"no .bin files under {replay_dir}")
+    if frames is not None and not loop:
+        paths = paths[:frames]
+    total = frames if (frames is not None and loop) else len(paths)
+
+    infer_fn = None
+    if spatial:
+        from det3d_tpu.parallel.mesh import make_spatial_infer, make_spatial_mesh
+
+        mesh = make_spatial_mesh()
+        det, infer_fn = make_spatial_infer(cfg, mesh)
+        print(f"serving spatially partitioned over {mesh.devices.size} devices")
+    else:
+        det = Detector(cfg)
+    variables = _load_variables(cfg, det, checkpoint)
+    server = PointCloudServer(cfg, variables, detector=det, infer_fn=infer_fn)
+    server.warmup()
+
+    from det3d_tpu.data import native_loader
+
+    use_native = native_loader.available()
+    print(
+        f"replaying {total} frames from {replay_dir} at {hz} Hz "
+        f"({'C++ async loader' if use_native else 'numpy fallback'})"
+    )
+
+    def frame_paths():
+        i = 0
+        while i < total:
+            yield paths[i % len(paths)]
+            i += 1
+
+    def producer():
+        period = 1.0 / hz
+        if use_native:
+            with native_loader.AsyncPointCloudLoader(
+                cfg.max_points, cfg.num_point_features, num_threads=4
+            ) as ld:
+                pending = 0
+                it = frame_paths()
+                # keep the loader a few frames ahead of the clock
+                for _ in range(min(4, total)):
+                    ld.submit(next(it))
+                    pending += 1
+                submitted = pending
+                while pending and not server._stop.is_set():
+                    got = ld.next(missing_ok=True)
+                    if got is None:
+                        break
+                    pts, n = got
+                    pending -= 1
+                    if submitted < total:
+                        ld.submit(next(it))
+                        pending += 1
+                        submitted += 1
+                    # the loader pads to max_points; the server re-pads, so
+                    # hand it only the valid rows (same contract as ROS)
+                    server.submit(pts[:n])
+                    time.sleep(period)
+        else:
+            for p in frame_paths():
+                if server._stop.is_set():
+                    return
+                pts = np.fromfile(p, np.float32).reshape(-1, cfg.num_point_features)
+                server.submit(pts)
+                time.sleep(period)
         server.stop()
 
     t = threading.Thread(target=producer, daemon=True)

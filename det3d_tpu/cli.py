@@ -53,6 +53,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--display-step", type=int, default=50)
     p.add_argument("--eval-frames", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--lr", type=float, default=None,
+                   help="override the config's learning_rate (the reference "
+                   "overrides lr the same way on resume, train.py:76)")
     p.add_argument(
         "--spatial-shards", type=int, default=1,
         help="hybrid DP x SP training: shard each sample's conv activations "
@@ -102,6 +105,16 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--frames", type=int, default=100)
     p.add_argument("--hz", type=float, default=10.0)
+    p.add_argument(
+        "--replay", default=None, metavar="DIR",
+        help="replay raw .bin point-cloud files from DIR at --hz through "
+        "the C++ async loader instead of the synthetic sensor (the "
+        "recorded-drive stand-in for the reference's live ROS feed)",
+    )
+    p.add_argument(
+        "--loop", action="store_true",
+        help="with --replay: cycle the directory until --frames served",
+    )
     p.add_argument(
         "--spatial", action="store_true",
         help="serve each frame spatially partitioned over all visible "
@@ -210,6 +223,8 @@ def main(argv: list[str] | None = None) -> None:
     if args.cmd == "train":
         if args.batch_size:
             cfg = cfg.replace(batch_size=args.batch_size)
+        if args.lr is not None:
+            cfg = cfg.replace(learning_rate=args.lr)
         from det3d_tpu.apps.train_app import train
 
         train(
@@ -277,12 +292,20 @@ def main(argv: list[str] | None = None) -> None:
 
         export_detector(cfg, checkpoint=args.checkpoint, out_dir=args.out)
     elif args.cmd == "serve":
-        from det3d_tpu.apps.serve_app import serve_synthetic
+        if args.replay:
+            from det3d_tpu.apps.serve_app import serve_replay
 
-        serve_synthetic(
-            cfg, checkpoint=args.checkpoint, frames=args.frames, hz=args.hz,
-            spatial=args.spatial,
-        )
+            serve_replay(
+                cfg, args.replay, checkpoint=args.checkpoint, hz=args.hz,
+                frames=args.frames, loop=args.loop, spatial=args.spatial,
+            )
+        else:
+            from det3d_tpu.apps.serve_app import serve_synthetic
+
+            serve_synthetic(
+                cfg, checkpoint=args.checkpoint, frames=args.frames, hz=args.hz,
+                spatial=args.spatial,
+            )
     elif args.cmd == "bench-rpn":
         from det3d_tpu.deploy.rpn_bench import bench_rpn
 

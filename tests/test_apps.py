@@ -223,6 +223,37 @@ class TestServer:
         assert len(results) == 3
         assert len(server.latencies) == 3
 
+    def test_replay_serves_bin_directory(self, tmp_path, capsys):
+        """serve --replay: raw .bin frames stream from disk through the
+        async loader (numpy fallback if the C++ build is unavailable) into
+        the same bounded-queue server; `loop` cycles the directory. The
+        real-IO counterpart of the reference's ROS feed (ros_node.py:61-83)."""
+        from det3d_tpu.apps.serve_app import serve_replay
+
+        cfg = small_cfg()
+        rng = np.random.RandomState(0)
+        for i in range(3):
+            pts = np.concatenate(
+                [rng.uniform(-7, 7, (400, 2)), rng.uniform(-2, 6, (400, 1)),
+                 rng.uniform(0, 1, (400, 1))], 1).astype(np.float32)
+            pts.tofile(tmp_path / f"{i:06d}.bin")
+
+        # pace slower than the consumer so the bounded queue (which DROPS
+        # stale frames by design) never overflows and every frame serves
+        lat = serve_replay(cfg, str(tmp_path), hz=10.0)
+        assert len(lat) == 3
+        assert all(l > 0 for l in lat)
+
+        # loop mode: 3 files serve 5 frames
+        lat = serve_replay(cfg, str(tmp_path), hz=10.0, frames=5, loop=True)
+        assert len(lat) == 5
+
+    def test_replay_missing_dir_raises(self, tmp_path):
+        from det3d_tpu.apps.serve_app import serve_replay
+
+        with pytest.raises(FileNotFoundError):
+            serve_replay(small_cfg(), str(tmp_path / "nope"), hz=100.0)
+
 
 class TestViewer:
     def test_render_scene_writes_png(self, tmp_path):
