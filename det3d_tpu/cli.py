@@ -130,6 +130,19 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--anchors", action="store_true")
     p.add_argument("--voxels", action="store_true")
     p.add_argument(
+        "--mode", choices=("bev", "3d"), default="bev",
+        help="3d: software-projected orbit-camera scene renders (the "
+        "headless stand-in for the reference's GL scene navigation, "
+        "viewer/glwidget.py)",
+    )
+    p.add_argument("--azimuth", type=float, default=-60.0,
+                   help="3d camera azimuth in degrees")
+    p.add_argument("--elevation", type=float, default=35.0)
+    p.add_argument("--distance", type=float, default=90.0)
+    p.add_argument("--orbit", type=int, default=0, metavar="N",
+                   help="with --mode 3d: render an N-view azimuth sweep per "
+                   "frame (turntable) instead of the single --azimuth view")
+    p.add_argument(
         "--image", action="store_true",
         help="also render the camera-image panel with projected 3D boxes "
         "(requires img_path + calib in the info)",
@@ -282,9 +295,15 @@ def main(argv: list[str] | None = None) -> None:
 
             InteractiveViewer(viewer, start=start, out_dir=args.out).run()
         else:
+            camera = None
+            if args.mode == "3d":
+                from det3d_tpu.viewer.render3d import OrbitCamera
+
+                camera = OrbitCamera(args.azimuth, args.elevation, args.distance)
             paths = viewer.export_frames(
                 range(start, min(stop, len(viewer))), args.out,
                 show_anchors=args.anchors, show_voxels=args.voxels, image=args.image,
+                mode=args.mode, camera=camera, orbit=args.orbit,
             )
             print(f"wrote {len(paths)} frames → {args.out}")
     elif args.cmd == "export":

@@ -147,14 +147,66 @@ class SceneViewer:
             image, info, gt_boxes=gt_boxes, dt_boxes=dt_boxes, out_path=out_path
         )
 
+    def _frame_scene(self, idx: int):
+        """(points, gt_boxes, dt_boxes, scores) for frame `idx`."""
+        info = self.infos[idx]
+        points = self.load_points(info)
+        gt_boxes = np.zeros((0, 7), np.float32)
+        if "annos" in info:
+            gt_boxes, _ = _annos_to_boxes(info["annos"])
+        dt_boxes = scores = None
+        if self.dt_annos is not None:
+            dt_boxes, scores = _annos_to_boxes(self.dt_annos[idx])
+        return points, gt_boxes, dt_boxes, scores
+
+    def render_frame_3d(
+        self,
+        idx: int,
+        out_path: str | Path,
+        *,
+        camera=None,
+        orbit: int = 0,
+    ) -> list[Path]:
+        """Projected 3D scene render(s) for frame `idx` — the headless
+        counterpart of the reference GL widget's rotatable scene
+        (viewer/glwidget.py). `orbit=N` renders an N-view azimuth sweep
+        into a per-frame directory instead of one PNG."""
+        from det3d_tpu.viewer.render3d import render_orbit, render_scene_3d
+
+        points, gt_boxes, dt_boxes, scores = self._frame_scene(idx)
+        title = f"frame {self.infos[idx].get('image_idx', idx)}"
+        if orbit:
+            cam = camera
+            return render_orbit(
+                points, gt_boxes, dt_boxes, scores,
+                out_dir=Path(out_path).with_suffix(""), n_views=orbit,
+                elevation=cam.elevation if cam else 35.0,
+                distance=cam.distance if cam else 90.0,
+                center=cam.center if cam else (0.0, 0.0, 0.0),
+            )
+        return [
+            render_scene_3d(
+                points, gt_boxes, dt_boxes, scores,
+                out_path=out_path, camera=camera, title=title,
+            )
+        ]
+
     def export_frames(
-        self, indices, out_dir: str | Path, *, image: bool = False, **kw
+        self, indices, out_dir: str | Path, *, image: bool = False,
+        mode: str = "bev", camera=None, orbit: int = 0, **kw
     ) -> list[Path]:
         out_dir = Path(out_dir)
         paths = []
         for i in indices:
             stem = f"{self.infos[i].get('image_idx', i):06d}"
-            paths.append(self.render_frame(i, out_dir / f"{stem}.png", **kw))
+            if mode == "3d":
+                paths.extend(
+                    self.render_frame_3d(
+                        i, out_dir / f"{stem}_3d.png", camera=camera, orbit=orbit
+                    )
+                )
+            else:
+                paths.append(self.render_frame(i, out_dir / f"{stem}.png", **kw))
             if image:
                 paths.append(self.render_image_frame(i, out_dir / f"{stem}_cam.png"))
         return paths
