@@ -60,6 +60,24 @@ def make_hybrid_mesh(dp: int, sp: int) -> Mesh:
     return Mesh(np.asarray(devices).reshape(dp, sp), (DATA_AXIS, SPATIAL_AXIS))
 
 
+def collective_counts(hlo_text: str) -> dict[str, int]:
+    """Count the cross-device collectives in a compiled HLO module.
+
+    Structural scaling evidence: asserts WHAT communication XLA inserted for
+    a given mesh, independent of hardware (tests/test_parallel.py pins the
+    expected shapes; tools/scaling_evidence.py prints the per-mesh-size
+    table for docs/SCALING.md). Async pairs (`-start`/`-done`) count once."""
+    import re
+
+    counts: dict[str, int] = {}
+    for op in ("all-reduce", "all-gather", "collective-permute",
+               "reduce-scatter", "all-to-all"):
+        n = len(re.findall(rf"= \S+ {op}(?:-start)?\(", hlo_text))
+        if n:
+            counts[op] = n
+    return counts
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

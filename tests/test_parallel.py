@@ -240,6 +240,99 @@ class TestSpatialTrain:
         assert "all-reduce" in txt, "no gradient all-reduce in the hybrid step"
 
 
+class TestScalingStructure:
+    """Structural scaling evidence across mesh sizes (docs/SCALING.md table,
+    regenerable with tools/scaling_evidence.py): the collectives XLA inserts
+    are a compile-time fact this rig CAN verify, even though multi-chip
+    timing needs real chips."""
+
+    @pytest.mark.parametrize("dp", [2, 4, 8])
+    def test_dp_step_has_exactly_the_written_reductions(self, dp):
+        """The shard_map DP step's cross-device traffic is EXACTLY two
+        all-reduces regardless of mesh size: the gradient pmean (one, after
+        XLA's all-reduce combiner merges the per-leaf reduces) and the
+        sync-BN statistics psum — and no spatial communication at all."""
+        from det3d_tpu.parallel.mesh import (
+            batch_sharded,
+            collective_counts,
+            make_mesh,
+            make_sharded_train_step,
+            replicated,
+        )
+
+        cfg = small_cfg().replace(batch_size=dp)
+        trainer = Trainer(cfg)
+        batch = host_batch(cfg, _samples(cfg, dp))
+        mesh = make_mesh(dp)
+        state = jax.device_put(
+            trainer.init_state(jax.random.PRNGKey(0)), replicated(mesh)
+        )
+        step = make_sharded_train_step(trainer, mesh)
+        txt = (
+            step.lower(state, jax.device_put(batch, batch_sharded(mesh)))
+            .compile().as_text()
+        )
+        counts = collective_counts(txt)
+        assert counts.get("all-reduce") == 2, counts
+        assert "collective-permute" not in counts, counts
+
+    @pytest.mark.parametrize("sp", [2, 4, 8])
+    def test_spatial_infer_halo_count_is_mesh_size_invariant(self, sp):
+        """The spatially-partitioned candidates stage contains one halo
+        collective-permute per partitioned conv — an SPMD program, so the
+        count stays ~constant as the mesh grows (per-device traffic shrinks
+        with the shard, it does not multiply). Measured 25-27 permutes /
+        12-14 gathers over sp=2/4/8 (tools/scaling_evidence.py)."""
+        import jax.numpy as jnp
+
+        from det3d_tpu.parallel.mesh import (
+            collective_counts,
+            make_spatial_infer,
+            make_spatial_mesh,
+            replicated,
+        )
+
+        cfg = small_cfg()
+        mesh = make_spatial_mesh(sp)
+        det_sp, _ = make_spatial_infer(cfg, mesh)
+        v = det_sp.init_variables(jax.random.PRNGKey(0))
+        pts = np.zeros((cfg.max_points, 4), np.float32)
+        rep = replicated(mesh)
+        txt = (
+            jax.jit(det_sp.infer_candidates, in_shardings=(rep, rep, rep))
+            .lower(v, jnp.asarray(pts), jnp.int32(16))
+            .compile().as_text()
+        )
+        counts = collective_counts(txt)
+        assert 20 <= counts.get("collective-permute", 0) <= 40, counts
+        assert counts.get("all-gather", 0) >= 1, counts
+
+    def test_hybrid_step_has_both_traffic_kinds(self):
+        """Hybrid DP×SP: gradient all-reduces over `data` AND fwd+bwd conv
+        halos over `spatial` in one program (bwd roughly triples the permute
+        count vs inference — dgrad + wgrad each need halos)."""
+        from det3d_tpu.parallel.mesh import (
+            batch_sharded,
+            collective_counts,
+            make_hybrid_mesh,
+            make_spatial_train,
+            replicated,
+        )
+
+        cfg = small_cfg().replace(batch_size=2)
+        mesh = make_hybrid_mesh(dp=2, sp=4)
+        trainer_sp, step_sp = make_spatial_train(cfg, mesh)
+        state = jax.device_put(
+            trainer_sp.init_state(jax.random.PRNGKey(0)), replicated(mesh)
+        )
+        batch = jax.device_put(
+            host_batch(cfg, _samples(cfg, 2)), batch_sharded(mesh)
+        )
+        counts = collective_counts(step_sp.lower(state, batch).compile().as_text())
+        assert counts.get("all-reduce", 0) >= 3, counts
+        assert counts.get("collective-permute", 0) >= 60, counts
+
+
 class TestPreparePaths:
     def test_unrolled_prepare_matches_vmap(self):
         """The b<=8 unrolled per-sample preparation (a TPU perf fix: batched
