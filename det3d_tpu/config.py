@@ -113,6 +113,13 @@ class Config:
     #                                  Gram matrices so normalize+relu fuses into the
     #                                  deconv epilogue (packed path only; train and
     #                                  parity runs can disable for exact round-2 math)
+    block0_blocked: bool = False     # inference: emit the s2d canvas as
+    #                                  halo'd H-blocks and run ALL of block0
+    #                                  batch-over-blocks (VALID-row convs) —
+    #                                  removes XLA's space-to-batch pad +
+    #                                  full-canvas blocking copy (round-4
+    #                                  lever; see models/pointpillars
+    #                                  RPN._blocked_block0)
     # (round-3 levers scatter_subtile / fused_adam / matcher_skip were
     #  measured on-chip as regressions or no-wins — BASELINE.md "Round-3
     #  final lever A/Bs" — and their surfaces deleted in round 4)
@@ -257,6 +264,7 @@ def load_config(path: str | Path | dict, **overrides: Any) -> Config:
         head=get("head", "shared"),
         pack_w=bool(get("pack_w", True)),
         fuse_in_stats=bool(get("fuse_in_stats", True)),
+        block0_blocked=bool(get("block0_blocked", False)),
     )
     cfg = _with_derived(cfg)
     # The feature map is ALWAYS the voxel grid at half resolution: the shared

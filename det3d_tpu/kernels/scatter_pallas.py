@@ -337,3 +337,143 @@ def _scatter_fwd_impl(
         interpret=interpret,
     )(starts, rows_s[:, None, :], feats_s)
     return canvas[:, :nrows].reshape(b, nx, ny, c)
+
+
+def _canvas_s2d_blocked_kernel(
+    starts_ref, rows_ref, phase_ref, feats_ref, out_ref,
+    *, tile: int, ntiles: int, rows_per_blk: int, halo_top: int, ny2: int,
+):
+    """Blocked-halo variant of `_canvas_s2d_kernel`: grid (B, nblk, ntiles).
+
+    Output block (blk, k) covers GLOBAL flat canvas rows
+    [blk_lo + k·tile, blk_lo + (k+1)·tile) with blk_lo = (blk·R − halo_top)·ny2
+    — i.e. each H-block carries its neighbors' halo rows, duplicated, so the
+    consumer can run block0's whole conv stack batch-over-blocks without any
+    halo exchange (models/pointpillars._blocked_block0). Same one-hot MXU
+    accumulation; a pillar near a block boundary simply lands in two blocks'
+    ranges (both exact copies)."""
+    bi = pl.program_id(0)
+    blk = pl.program_id(1)
+    k = pl.program_id(2)
+    out_ref[:] = jnp.zeros_like(out_ref)
+    lo = starts_ref[bi, blk * (ntiles + 1) + k]
+    hi = starts_ref[bi, blk * (ntiles + 1) + k + 1]
+    base = (blk * rows_per_blk - halo_top) * ny2 + k * tile  # global flat row
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, _CHUNK), 0) + base
+
+    def body(j, _):
+        a = pl.multiple_of(j * _CHUNK, _CHUNK)
+        rchunk = rows_ref[0, 0:1, pl.ds(a, _CHUNK)]     # (1, 128) int32
+        pchunk = phase_ref[0, 0:1, pl.ds(a, _CHUNK)]    # (1, 128) int32
+        fchunk = feats_ref[0, pl.ds(a, _CHUNK), :]      # (128, C)
+        wide = jnp.concatenate(
+            [
+                jnp.where(pchunk.T == p, fchunk, jnp.zeros_like(fchunk))
+                for p in (0, 1, 2, 3)
+            ],
+            axis=1,
+        )                                               # (128, 4C)
+        onehot = (row_ids == rchunk).astype(fchunk.dtype)
+        hit = jax.lax.dot_general(
+            onehot, wide, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, 0] += hit.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(lo // _CHUNK, (hi + _CHUNK - 1) // _CHUNK, body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid_xy", "nblk", "halo", "interpret")
+)
+def scatter_to_bev_s2d_blocked(
+    pillar_features: jax.Array,  # (B, V, C)
+    coors: jax.Array,            # (B, V, 3) int32, -1 rows dropped
+    grid_xy: tuple[int, int],
+    nblk: int,
+    halo: tuple[int, int],
+    interpret: bool = False,
+) -> jax.Array:                  # (B, nblk, R + ht + hb, ny/2, 4C)
+    """S2d canvas emitted directly as `nblk` H-blocks with `halo` =
+    (top, bottom) duplicated neighbor rows per block (zeros beyond the
+    canvas edge — exactly the conv zero-padding). Inference-only (no VJP):
+    feeds models/pointpillars._blocked_block0, which runs the entire block0
+    conv stack batch-over-blocks with VALID row convs, so XLA's
+    space-to-batch pad + full-canvas blocking copy of the 4C canvas
+    (~2.0 ms at the 10 cm geometry) never exists.
+
+    Round-3 context (BASELINE.md): emitting blocked for the ENTRY conv only
+    lost — XLA re-blocked at the unblock reshape for the residual convs.
+    This variant exists to carry the blocked form through ALL of block0."""
+    nx, ny = grid_xy
+    assert nx % 2 == 0 and ny % 2 == 0
+    b, v, c = pillar_features.shape
+    nx2, ny2 = nx // 2, ny // 2
+    assert nx2 % nblk == 0, (nx2, nblk)
+    rb = nx2 // nblk
+    ht, hb = halo
+    rtot = rb + ht + hb
+    nrows_blk = rtot * ny2
+    tile = _pick_tile(nrows_blk, cap=2000)
+    nrows_blk_pad = -(-nrows_blk // tile) * tile
+    ntiles = nrows_blk_pad // tile
+    vpad = ((v + _CHUNK - 1) // _CHUNK) * _CHUNK
+    # invalid pillars: beyond every block's range (last block's bottom halo
+    # extends hb rows past the canvas — the sentinel must clear it)
+    sentinel = (nx2 + hb) * ny2 + tile
+
+    def prep(feats, crs):
+        valid = crs[:, 0] >= 0
+        rows = jnp.where(valid, (crs[:, 0] // 2) * ny2 + crs[:, 1] // 2, sentinel)
+        phase = jnp.where(valid, (crs[:, 0] % 2) * 2 + crs[:, 1] % 2, 0)
+        rows_sorted, phase_sorted, perm = jax.lax.sort(
+            (rows.astype(jnp.int32), phase.astype(jnp.int32),
+             jnp.arange(v, dtype=jnp.int32)),
+            num_keys=1,
+        )
+        feats_sorted = feats[perm]
+        if vpad != v:
+            rows_sorted = jnp.pad(rows_sorted, (0, vpad - v), constant_values=sentinel)
+            phase_sorted = jnp.pad(phase_sorted, (0, vpad - v))
+            feats_sorted = jnp.pad(feats_sorted, ((0, vpad - v), (0, 0)))
+        # per-(block, tile) pillar ranges over the GLOBAL flat row order —
+        # block ranges overlap by the halos, so starts are per-block curves
+        blk_lo = (jnp.arange(nblk, dtype=jnp.int32) * rb - ht) * ny2  # (nblk,)
+        bounds = (
+            blk_lo[:, None]
+            + jnp.arange(ntiles + 1, dtype=jnp.int32)[None, :] * tile
+        ).reshape(-1)
+        starts = jnp.searchsorted(rows_sorted, bounds, side="left").astype(jnp.int32)
+        return starts, rows_sorted, phase_sorted, feats_sorted
+
+    starts, rows_s, phase_s, feats_s = jax.vmap(prep)(pillar_features, coors)
+
+    kernel = functools.partial(
+        _canvas_s2d_blocked_kernel, tile=tile, ntiles=ntiles,
+        rows_per_blk=rb, halo_top=ht, ny2=ny2,
+    )
+    canvas = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # starts (B, nblk*(ntiles+1)) → SMEM
+            grid=(b, nblk, ntiles),
+            in_specs=[
+                pl.BlockSpec((1, 1, vpad), lambda bi, blk, k, starts: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),       # rows
+                pl.BlockSpec((1, 1, vpad), lambda bi, blk, k, starts: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),       # phase
+                pl.BlockSpec((1, vpad, c), lambda bi, blk, k, starts: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),       # feats
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, tile, 4 * c), lambda bi, blk, k, starts: (bi, blk, k, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, nblk, nrows_blk_pad, 4 * c), pillar_features.dtype
+        ),
+        interpret=interpret,
+    )(starts, rows_s[:, None, :], phase_s[:, None, :], feats_s)
+    return canvas[:, :, :nrows_blk].reshape(b, nblk, rtot, ny2, 4 * c)

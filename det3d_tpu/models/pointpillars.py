@@ -596,6 +596,10 @@ class PackedConv(nn.Module):
             "entry": (_pack_entry_kernel, (1, 2), ((1, 0), (1, 0))),
             "res": (_pack_res_kernel, (1, 1), ((1, 1), (1, 1))),
             "down": (_pack_down_kernel, (2, 1), ((1, 0), (1, 0))),
+            # VALID-row variants for the blocked block0 (halo rows supply the
+            # taps; same params, same math on the valid region)
+            "entry_valid": (_pack_entry_kernel, (1, 2), ((0, 0), (1, 0))),
+            "res_valid": (_pack_res_kernel, (1, 1), ((0, 0), (1, 1))),
         }[self.kind]
         return jax.lax.conv_general_dilated(
             x.astype(self.compute_dtype),
@@ -664,6 +668,67 @@ class PackedPointwise(nn.Module):
         return y
 
 
+def _instance_norm_blocked(
+    x5: jax.Array, top: int, bot: int, valid_rows: int
+) -> jax.Array:
+    """InstanceNorm over a blocked-halo packed map (B, nblk, R, W2, 2C):
+    statistics from the VALID rows [top, top+valid_rows) of every block —
+    each full-map row counted exactly once (halo rows duplicate neighbors)
+    — then the WHOLE map (halos included) normalized, so the duplicated
+    halo rows stay bit-consistent with their originals.
+
+    Out-of-canvas halo rows (the first block's `top` and the last block's
+    `bot` margin rows) are re-zeroed after the normalize: the full-map conv
+    zero-pads there, and an IN'd zero is -mean·inv ≠ 0 — without this the
+    next conv reads garbage at the canvas edges and its IN's statistics
+    drift map-wide (caught by the isolated block0 equality probe).
+    Inference-only (no custom VJP; the blocked path never runs under
+    grad)."""
+    xs = x5[:, :, top : top + valid_rows].astype(jnp.float32)
+    s1 = jnp.sum(xs, axis=(1, 2, 3))                       # (B, 2C)
+    s2 = jnp.sum(xs * xs, axis=(1, 2, 3))
+    n = x5.shape[1] * valid_rows * x5.shape[3]             # = H · W2 unblocked
+    mean, inv, _ = _moments_from_sums(s1, s2, n, packed=True)
+    mean_c = mean[:, None, None, None].astype(x5.dtype)
+    inv_c = inv[:, None, None, None].astype(x5.dtype)
+    y = (x5 - mean_c) * inv_c
+    if top:
+        y = y.at[:, 0, :top].set(0.0)
+    if bot:
+        y = y.at[:, -1, y.shape[2] - bot :].set(0.0)
+    return y
+
+
+class _BlockedPreActResidual(nn.Module):
+    """PreActResidual on a blocked-halo map: VALID-row convs shrink the halo
+    by one row per side per conv (no exchange); the identity crops to match.
+    Parameter paths are IDENTICAL to PreActResidual (conv{i}/kernel) so
+    checkpoints are blocked-path-agnostic."""
+
+    dim: int
+    num_convs: int
+    valid_rows: int
+    top_in: int  # top margin of the input
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x5: jax.Array) -> jax.Array:
+        bsz, nblk = x5.shape[0], x5.shape[1]
+        h = x5
+        for i in range(self.num_convs):
+            m = self.top_in - i
+            h = _instance_norm_blocked(h, m, m, self.valid_rows)
+            h = nn.relu(h)
+            r, w2, c = h.shape[2], h.shape[3], h.shape[4]
+            h = PackedConv(
+                self.dim, self.dim, "res_valid", self.compute_dtype,
+                name=f"conv{i}",
+            )(h.reshape(bsz * nblk, r, w2, c))
+            h = h.reshape(bsz, nblk, r - 2, w2, -1)
+        k = self.num_convs
+        return x5[:, :, k:-k] + h
+
+
 class RPN(nn.Module):
     """Multi-scale 2D backbone + upsample-concat neck.
 
@@ -683,10 +748,41 @@ class RPN(nn.Module):
     #                       ((B, H, W/2, 320) x 2) instead of the merged map —
     #                       SharedHead contracts them directly (two dots) and
     #                       the full-map unpack relayout never materializes
+    block0_blocked: bool = False  # input is the blocked-halo s2d canvas
+    #                       (B, nblk, R, ny2, 4C): run ALL of block0 batch-
+    #                       over-blocks with VALID-row convs so XLA's
+    #                       space-to-batch pad + full-canvas blocking copy
+    #                       never exists (Config.block0_blocked, inference)
 
     @property
     def out_channels(self) -> int:
         return sum(self.num_upsample_filters)
+
+    def _blocked_block0(self, x5: jax.Array, width: int) -> jax.Array:
+        """ALL of block0 on the blocked-halo canvas (B, nblk, R, ny2, 4C)
+        from kernels/scatter_pallas.scatter_to_bev_s2d_blocked, R = rows/blk
+        + 4 + 3: VALID-row convs consume one halo row per side per conv
+        (entry: top only), IN statistics count the valid rows exactly once,
+        residual identities crop to match — every value equals the full-map
+        computation (up to f32 stat association), no halo exchange anywhere.
+        The margins retire exactly at the last conv; the unblock is a pure
+        reshape. Same parameter paths as the unblocked path."""
+        bsz, nblk, r0, w2c, c4 = x5.shape
+        # entry conv (2 row taps, VALID): consumes 1 TOP halo row
+        x = PackedConv(
+            width, c4 // 4, "entry_valid", self.compute_dtype, name="block0_down"
+        )(x5.reshape(bsz * nblk, r0, w2c, c4))
+        x5 = x.reshape(bsz, nblk, r0 - 1, w2c // 2, -1)      # margins (3, 3)
+        rb = r0 - 7                                          # valid rows/blk
+        x5 = _instance_norm_blocked(x5, 3, 3, rb)
+        x5 = nn.relu(x5)
+        x5 = _BlockedPreActResidual(
+            width, 2, rb, 3, self.compute_dtype, name="block0_res0"
+        )(x5)                                                # margins (1, 1)
+        x5 = _BlockedPreActResidual(
+            width, 1, rb, 1, self.compute_dtype, name="block0_res1"
+        )(x5)                                                # margins (0, 0)
+        return x5.reshape(bsz, nblk * rb, x5.shape[3], x5.shape[4])
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -695,31 +791,35 @@ class RPN(nn.Module):
             zip(self.layer_nums, self.num_filters, self.upsample_strides, self.num_upsample_filters)
         ):
             packed = self.pack_w and b == 0
-            if b == 0 and self.pack_w:
-                x = PackedConv(
-                    width, x.shape[-1] // 4, "entry", self.compute_dtype,
-                    name="block0_down",
-                )(x)
-            elif b == 1 and self.pack_w:
-                x = PackedConv(
-                    width, x.shape[-1] // 2, "down", self.compute_dtype,
-                    name="block1_down",
-                )(x)
+            if b == 0 and self.block0_blocked:
+                assert self.pack_w and depth == 2, "blocked block0: packed depth-2 only"
+                x = self._blocked_block0(x, width)
             else:
-                x = nn.Conv(
-                    width, (3, 3), strides=(2, 2), padding=_PAD_S2, use_bias=False,
-                    dtype=self.compute_dtype, name=f"block{b}_down",
-                )(x)
-            x = _instance_norm(x, f"block{b}_in", packed=packed)
-            x = nn.relu(x)
-            # depth 2 → residual units with [2, 1] convs; depth 4 → [2, 2, 1]
-            # (reference builds Resnet2(…,1) x (depth//2) then Resnet2(…,0))
-            convs_per_unit = [2] * (depth // 2) + [1]
-            for u, ncv in enumerate(convs_per_unit):
-                x = PreActResidual(
-                    width, ncv, self.compute_dtype, packed=packed,
-                    name=f"block{b}_res{u}",
-                )(x)
+                if b == 0 and self.pack_w:
+                    x = PackedConv(
+                        width, x.shape[-1] // 4, "entry", self.compute_dtype,
+                        name="block0_down",
+                    )(x)
+                elif b == 1 and self.pack_w:
+                    x = PackedConv(
+                        width, x.shape[-1] // 2, "down", self.compute_dtype,
+                        name="block1_down",
+                    )(x)
+                else:
+                    x = nn.Conv(
+                        width, (3, 3), strides=(2, 2), padding=_PAD_S2, use_bias=False,
+                        dtype=self.compute_dtype, name=f"block{b}_down",
+                    )(x)
+                x = _instance_norm(x, f"block{b}_in", packed=packed)
+                x = nn.relu(x)
+                # depth 2 → residual units with [2, 1] convs; depth 4 → [2, 2, 1]
+                # (reference builds Resnet2(…,1) x (depth//2) then Resnet2(…,0))
+                convs_per_unit = [2] * (depth // 2) + [1]
+                for u, ncv in enumerate(convs_per_unit):
+                    x = PreActResidual(
+                        width, ncv, self.compute_dtype, packed=packed,
+                        name=f"block{b}_res{u}",
+                    )(x)
 
             u = x
             fuse = self.fuse_in_stats and self.pack_w
@@ -980,7 +1080,25 @@ class PointPillars(nn.Module):
         # the XLA 16k-row scatter lowers to a serialized per-index update
         # (~1.5 ms/frame); the Pallas builders stream the canvas as one-hot
         # MXU matmuls (kernels/scatter_pallas.py)
-        if pack:
+        # blocked block0 (Config.block0_blocked, inference): the scatter
+        # emits halo'd H-blocks and RPN runs all of block0 batch-over-blocks
+        # — XLA's space-to-batch pad + blocking copy of the 4C canvas never
+        # exists. Excluded under spatial sharding (the canvas constraint
+        # needs the plain dense layout).
+        nx2 = grid_xy[0] // 2
+        nblk = next((n for n in (8, 4, 2) if nx2 % n == 0 and nx2 // n > 7), 1)
+        blocked = (
+            pack and not train and nblk > 1
+            and getattr(self.cfg, "block0_blocked", False)
+            and self.canvas_sharding is None
+        )
+        if blocked:
+            from det3d_tpu.kernels.scatter_pallas import scatter_to_bev_s2d_blocked
+
+            canvas = scatter_to_bev_s2d_blocked(
+                pillar_features, coors, grid_xy, nblk, (4, 3), not on_tpu
+            )
+        elif pack:
             if on_tpu:
                 from det3d_tpu.kernels.scatter_pallas import scatter_to_bev_s2d_pallas
 
@@ -1020,7 +1138,8 @@ class PointPillars(nn.Module):
         # besides the head (20 cm inference 6.23 -> 5.96 ms device)
         rpn_features = RPN(
             compute_dtype=dtype, pack_w=pack, fuse_in_stats=fuse_stats,
-            split_out=pack and shared_head and not train, name="rpn",
+            split_out=pack and shared_head and not train,
+            block0_blocked=blocked, name="rpn",
         )(canvas)
         if not shared_head:
             return MultiHead(

@@ -486,6 +486,78 @@ class TestScatterPallas:
         )(feats)
         np.testing.assert_allclose(np.asarray(gw), np.asarray(gx), atol=1e-6)
 
+    def test_blocked_scatter_matches_plain_with_halos(self):
+        """scatter_to_bev_s2d_blocked: reassembled blocks == plain s2d canvas
+        and every halo row equals its neighbor-row duplicate (zeros past the
+        canvas edge)."""
+        import jax.numpy as jnp
+
+        from det3d_tpu.kernels.scatter_pallas import (
+            _scatter_s2d_fwd_impl,
+            scatter_to_bev_s2d_blocked,
+        )
+
+        r = np.random.RandomState(0)
+        b, v, c, nx, ny = 2, 57, 8, 24, 20
+        feats = r.randn(b, v, c).astype(np.float32)
+        coors = np.full((b, v, 3), -1, np.int32)
+        for bi in range(b):
+            cells = r.choice(nx * ny, 40, replace=False)
+            coors[bi, :40, 0] = cells // ny
+            coors[bi, :40, 1] = cells % ny
+            coors[bi, :40, 2] = 0
+
+        plain = np.asarray(
+            _scatter_s2d_fwd_impl(jnp.asarray(feats), jnp.asarray(coors), (nx, ny), True)
+        )
+        nblk, ht, hb = 3, 4, 3
+        blk = np.asarray(
+            scatter_to_bev_s2d_blocked(
+                jnp.asarray(feats), jnp.asarray(coors), (nx, ny), nblk, (ht, hb), True
+            )
+        )
+        nx2, ny2 = nx // 2, ny // 2
+        rb = nx2 // nblk
+        padded = np.zeros((b, nx2 + ht + hb, ny2, 4 * c), plain.dtype)
+        padded[:, ht : ht + nx2] = plain
+        for k in range(nblk):
+            np.testing.assert_array_equal(
+                blk[:, k], padded[:, k * rb : k * rb + rb + ht + hb]
+            )
+
+    def test_blocked_block0_preds_bit_identical(self):
+        """Config.block0_blocked: the blocked-halo block0 (VALID-row convs,
+        margin-masked INs) produces BIT-IDENTICAL predictions to the plain
+        packed pipeline in f32 — the halo bookkeeping is exact, including
+        the out-of-canvas zero rows an IN would otherwise shift off zero."""
+        import jax
+
+        from det3d_tpu.config import load_config
+        from det3d_tpu.ops.voxelize import VoxelizerSpec, voxelize
+        from det3d_tpu.pipeline import Detector
+
+        cfg = load_config({
+            "detection_range": [-16.0, -16.0, -2.5, 16.0, 16.0, 8.5],
+            "center_limit": [-16.0, -16.0, -10.0, 16.0, 16.0, 10.0],
+            "voxel_size": [1.0, 1.0, 11.0],
+            "max_voxels": 256, "max_num_points": 5, "batch_size": 1,
+            "max_points": 4096, "max_gt_boxes": 8, "compute_dtype": "float32",
+        })  # 32² grid → nx2=16 → nblk=2 (the small_cfg 16² grid disables it)
+        det_a = Detector(cfg)
+        det_b = Detector(cfg.replace(block0_blocked=True))
+        v = det_a.init_variables(jax.random.PRNGKey(0))
+        r = np.random.RandomState(0)
+        pts = np.concatenate(
+            [r.uniform(-15, 15, (3000, 2)), r.uniform(-2, 6, (3000, 1)),
+             r.uniform(0, 1, (3000, 1))], 1).astype(np.float32)
+        padded, n = det_a.pad_points(pts)
+        fr = voxelize(padded, np.int32(n), VoxelizerSpec.from_config(cfg))
+        args = (fr.voxels[None], fr.num_points_per_voxel[None], fr.coors[None])
+        pa = det_a.model.apply(v, *args, train=False)
+        pb = det_b.model.apply(v, *args, train=False)
+        for a_leaf, b_leaf in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+            np.testing.assert_array_equal(np.asarray(a_leaf), np.asarray(b_leaf))
+
     def test_grad_matches_xla_scatter(self):
         """The custom VJP (training path!) must match XLA's scatter grad."""
         import jax

@@ -84,6 +84,26 @@ def main() -> None:
     np.testing.assert_array_equal(got10, want10)
     print("scatter_to_bev_s2d_pallas @10cm grid: OK")
 
+    # --- blocked-halo s2d (Config.block0_blocked) at the 10cm shape --------
+    from det3d_tpu.kernels.scatter_pallas import scatter_to_bev_s2d_blocked
+
+    nblk, ht, hb = 8, 4, 3
+    out = scatter_to_bev_s2d_blocked(
+        feats10, jnp.asarray(coors10), (n10, n10), nblk, (ht, hb)
+    )
+    out.block_until_ready()
+    blk = np.asarray(out[0], np.float32)     # (nblk, rb+7, 800, 4c)
+    nx2 = n10 // 2
+    rb = nx2 // nblk
+    pad10 = np.zeros((nx2 + ht + hb, nx2, 4 * c), np.float32)
+    pad10[ht : ht + nx2] = want10.reshape(nx2, nx2, 4 * c)
+    for k in range(nblk):
+        np.testing.assert_array_equal(
+            blk[k].reshape(rb + ht + hb, nx2, 4 * c),
+            pad10[k * rb : k * rb + rb + ht + hb],
+        )
+    print("scatter_to_bev_s2d_blocked @10cm grid: OK (halos exact)")
+
     # --- batch-2 (training shape): Mosaic's last-two-block-dims rule differs
     # for B>1 arrays — a b=1-only check once passed while the train step
     # failed to lower -----------------------------------------------------
