@@ -25,6 +25,11 @@ FILES = {
     "tune 20cm report": ("r4_tune_20cm.json", "json"),
     "tune 10cm": ("r4_tune_10cm.log", "tune"),
     "tune 10cm report": ("r4_tune_10cm.json", "json"),
+    # round-4 chain B (/tmp/r4b_chain.sh)
+    "kernel check (blocked)": ("r4_kcheck_b.log", "tail"),
+    "bench 10cm block0_blocked": ("r4_bench_b0b_10cm.json", "json"),
+    "bench 20cm block0_blocked": ("r4_bench_b0b_20cm.json", "json"),
+    "learning validation 6000 steps": ("r4_lv6000.log", "tail"),
     "chain progress": ("r4_chain.log", "tail"),
 }
 
