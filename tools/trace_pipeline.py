@@ -104,6 +104,7 @@ def main():
             e.get("ph") == "X"
             and "TPU" in pids.get(e["pid"], "")
             and not e["name"].startswith("jit_")
+            and not e["name"].isdigit()  # step-envelope markers span whole steps
         ):
             loc = src.get(e["name"], "?? " + e["name"].split(".")[0])
             agg[loc] += e.get("dur", 0)
@@ -123,6 +124,7 @@ def main():
             e.get("ph") == "X"
             and "TPU" in pids.get(e["pid"], "")
             and not e["name"].startswith("jit_")
+            and not e["name"].isdigit()  # step-envelope markers span whole steps
         ):
             per_op[e["name"]] += e.get("dur", 0)
     print("\n-- top individual ops --")

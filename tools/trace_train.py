@@ -85,6 +85,11 @@ def main():
             e.get("ph") == "X"
             and "TPU" in pids.get(e["pid"], "")
             and not e["name"].startswith("jit_")
+            # step-envelope markers are named by bare step number and span
+            # the WHOLE step — counting them doubles the device total
+            # (round-4 trace: four '?? N' rows at 12 ms each = 4 × 48 ms
+            # step envelopes over 4 steps)
+            and not e["name"].isdigit()
         ):
             loc = src.get(e["name"], "?? " + e["name"].split(".")[0])
             agg[loc] += e.get("dur", 0)
