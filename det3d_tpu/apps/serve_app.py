@@ -108,6 +108,52 @@ class PointCloudServer:
                 print(f"served {served} frames, avg latency {avg:.1f} ms ({len(annos['name'])} dets)")
 
 
+def _load_variables(cfg: Config, det: Detector, checkpoint: str | None):
+    if checkpoint:
+        from det3d_tpu.train.checkpoint import load_latest_state
+
+        state = load_latest_state(cfg, checkpoint, det)
+        return {"params": state.params, "batch_stats": state.batch_stats}
+    return det.init_variables(jax.random.PRNGKey(0))
+
+
+def _run_server(cfg: Config, producer_body, *, checkpoint, spatial) -> list[float]:
+    """Shared serving scaffold: build detector(+spatial infer_fn)/server,
+    warm up, run `producer_body(server)` in a daemon thread (server.stop()
+    guaranteed on ANY exit, or spin() would wait forever), consume, print
+    the latency percentiles. Both transports differ only in the producer."""
+    infer_fn = None
+    if spatial:
+        from det3d_tpu.parallel.mesh import make_spatial_infer, make_spatial_mesh
+
+        mesh = make_spatial_mesh()
+        det, infer_fn = make_spatial_infer(cfg, mesh)
+        print(f"serving spatially partitioned over {mesh.devices.size} devices")
+    else:
+        det = Detector(cfg)
+    variables = _load_variables(cfg, det, checkpoint)
+    server = PointCloudServer(cfg, variables, detector=det, infer_fn=infer_fn)
+    server.warmup()
+
+    def producer():
+        try:
+            producer_body(server)
+        finally:
+            server.stop()
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    server.spin()
+    t.join()
+    lat = np.asarray(server.latencies) * 1e3
+    if len(lat):
+        print(
+            f"latency over {len(lat)} frames: p50 {np.percentile(lat, 50):.1f} ms  "
+            f"p95 {np.percentile(lat, 95):.1f} ms  max {lat.max():.1f} ms"
+        )
+    return server.latencies
+
+
 def serve_synthetic(
     cfg: Config,
     *,
@@ -123,22 +169,9 @@ def serve_synthetic(
     latency mode."""
     from det3d_tpu.data.synthetic import sample_scene
 
-    infer_fn = None
-    if spatial:
-        from det3d_tpu.parallel.mesh import make_spatial_infer, make_spatial_mesh
-
-        mesh = make_spatial_mesh()
-        det, infer_fn = make_spatial_infer(cfg, mesh)
-        print(f"serving spatially partitioned over {mesh.devices.size} devices")
-    else:
-        det = Detector(cfg)
-    variables = _load_variables(cfg, det, checkpoint)
-    server = PointCloudServer(cfg, variables, detector=det, infer_fn=infer_fn)
-
-    server.warmup()
     rng = np.random.RandomState(0)
 
-    def producer():
+    def producer_body(server):
         period = 1.0 / hz
         for _ in range(frames):
             if server._stop.is_set():
@@ -146,28 +179,8 @@ def serve_synthetic(
             scene = sample_scene(cfg, rng)
             server.submit(scene["points"])
             time.sleep(period)
-        server.stop()
 
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    server.spin()
-    t.join()
-    lat = np.asarray(server.latencies) * 1e3
-    if len(lat):
-        print(
-            f"latency over {len(lat)} frames: p50 {np.percentile(lat, 50):.1f} ms  "
-            f"p95 {np.percentile(lat, 95):.1f} ms  max {lat.max():.1f} ms"
-        )
-    return server.latencies
-
-
-def _load_variables(cfg: Config, det: Detector, checkpoint: str | None):
-    if checkpoint:
-        from det3d_tpu.train.checkpoint import load_latest_state
-
-        state = load_latest_state(cfg, checkpoint, det)
-        return {"params": state.params, "batch_stats": state.batch_stats}
-    return det.init_variables(jax.random.PRNGKey(0))
+    return _run_server(cfg, producer_body, checkpoint=checkpoint, spatial=spatial)
 
 
 def serve_replay(
@@ -200,19 +213,6 @@ def serve_replay(
         paths = paths[:frames]
     total = frames if (frames is not None and loop) else len(paths)
 
-    infer_fn = None
-    if spatial:
-        from det3d_tpu.parallel.mesh import make_spatial_infer, make_spatial_mesh
-
-        mesh = make_spatial_mesh()
-        det, infer_fn = make_spatial_infer(cfg, mesh)
-        print(f"serving spatially partitioned over {mesh.devices.size} devices")
-    else:
-        det = Detector(cfg)
-    variables = _load_variables(cfg, det, checkpoint)
-    server = PointCloudServer(cfg, variables, detector=det, infer_fn=infer_fn)
-    server.warmup()
-
     from det3d_tpu.data import native_loader
 
     use_native = native_loader.available()
@@ -227,7 +227,7 @@ def serve_replay(
             yield paths[i % len(paths)]
             i += 1
 
-    def producer():
+    def producer_body(server):
         period = 1.0 / hz
         if use_native:
             with native_loader.AsyncPointCloudLoader(
@@ -261,19 +261,8 @@ def serve_replay(
                 pts = np.fromfile(p, np.float32).reshape(-1, cfg.num_point_features)
                 server.submit(pts)
                 time.sleep(period)
-        server.stop()
 
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    server.spin()
-    t.join()
-    lat = np.asarray(server.latencies) * 1e3
-    if len(lat):
-        print(
-            f"latency over {len(lat)} frames: p50 {np.percentile(lat, 50):.1f} ms  "
-            f"p95 {np.percentile(lat, 95):.1f} ms  max {lat.max():.1f} ms"
-        )
-    return server.latencies
+    return _run_server(cfg, producer_body, checkpoint=checkpoint, spatial=spatial)
 
 
 def make_ros_node(cfg: Config, variables, topic: str = "/combined_lidar"):

@@ -291,6 +291,11 @@ def main(argv: list[str] | None = None) -> None:
         viewer = SceneViewer(cfg, info_path=args.info, dt_path=args.dt)
         start, stop = (int(v) for v in args.frames.split(":"))
         if args.interactive:
+            if args.mode == "3d" or args.orbit:
+                raise SystemExit(
+                    "view --interactive is BEV-only; --mode 3d/--orbit are "
+                    "batch-export options (drop --interactive to use them)"
+                )
             from det3d_tpu.viewer.app import InteractiveViewer
 
             InteractiveViewer(viewer, start=start, out_dir=args.out).run()

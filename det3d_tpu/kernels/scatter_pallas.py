@@ -61,7 +61,16 @@ def _canvas_kernel(starts_ref, rows_ref, feats_ref, out_ref, *, tile: int):
         out_ref[0] += hit.astype(out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(lo // _CHUNK, (hi + _CHUNK - 1) // _CHUNK, body, 0)
+    jax.lax.fori_loop(lo // _CHUNK, _chunk_hi(lo, hi), body, 0)
+
+
+def _chunk_hi(lo, hi):
+    """Exclusive chunk-loop bound: an EMPTY range (lo == hi) must run ZERO
+    chunks — the naive ceil(hi/CHUNK) still runs one matmul whenever lo is
+    not chunk-aligned, and most canvas tiles of a radially-sparse cloud are
+    empty (the round-3 subtile kernel carried this guard; the dense kernels
+    had been paying the wasted zero-output matmuls all along)."""
+    return jnp.where(hi > lo, (hi + _CHUNK - 1) // _CHUNK, lo // _CHUNK)
 
 
 def _pick_tile(nrows: int, cap: int = 4096) -> int:
@@ -119,7 +128,7 @@ def _canvas_s2d_kernel(starts_ref, rows_ref, phase_ref, feats_ref, out_ref, *, t
         out_ref[0] += hit.astype(out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(lo // _CHUNK, (hi + _CHUNK - 1) // _CHUNK, body, 0)
+    jax.lax.fori_loop(lo // _CHUNK, _chunk_hi(lo, hi), body, 0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -193,7 +202,6 @@ def _scatter_s2d_fwd_impl(
     nx2, ny2 = nx // 2, ny // 2
     nrows = nx2 * ny2
     tile = _pick_tile(nrows, cap=2000)
-    bgran = tile
     nrows_pad = -(-nrows // tile) * tile  # invalid pillars land in [nrows, pad)
     ntiles = nrows_pad // tile
     vpad = ((v + _CHUNK - 1) // _CHUNK) * _CHUNK
@@ -215,7 +223,7 @@ def _scatter_s2d_fwd_impl(
             rows_sorted = jnp.pad(rows_sorted, (0, vpad - v), constant_values=nrows_pad)
             phase_sorted = jnp.pad(phase_sorted, (0, vpad - v))
             feats_sorted = jnp.pad(feats_sorted, ((0, vpad - v), (0, 0)))
-        bounds = jnp.arange(nrows_pad // bgran + 1, dtype=jnp.int32) * bgran
+        bounds = jnp.arange(ntiles + 1, dtype=jnp.int32) * tile
         starts = jnp.searchsorted(rows_sorted, bounds, side="left").astype(jnp.int32)
         return starts, rows_sorted, phase_sorted, feats_sorted
 
@@ -381,7 +389,7 @@ def _canvas_s2d_blocked_kernel(
         out_ref[0, 0] += hit.astype(out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(lo // _CHUNK, (hi + _CHUNK - 1) // _CHUNK, body, 0)
+    jax.lax.fori_loop(lo // _CHUNK, _chunk_hi(lo, hi), body, 0)
 
 
 @functools.partial(

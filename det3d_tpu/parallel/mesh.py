@@ -72,7 +72,11 @@ def collective_counts(hlo_text: str) -> dict[str, int]:
     counts: dict[str, int] = {}
     for op in ("all-reduce", "all-gather", "collective-permute",
                "reduce-scatter", "all-to-all"):
-        n = len(re.findall(rf"= \S+ {op}(?:-start)?\(", hlo_text))
+        # async starts have TUPLE result types containing spaces
+        # (`%x = (f32[..], f32[..]) all-reduce-start(`) — match the result
+        # type non-greedily instead of as one token; `-done` halves are
+        # excluded so each async pair counts once
+        n = len(re.findall(rf"= .{{0,400}}? {op}(?:-start)?\(", hlo_text))
         if n:
             counts[op] = n
     return counts

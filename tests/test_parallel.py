@@ -248,10 +248,12 @@ class TestScalingStructure:
 
     @pytest.mark.parametrize("dp", [2, 4, 8])
     def test_dp_step_has_exactly_the_written_reductions(self, dp):
-        """The shard_map DP step's cross-device traffic is EXACTLY two
-        all-reduces regardless of mesh size: the gradient pmean (one, after
-        XLA's all-reduce combiner merges the per-leaf reduces) and the
-        sync-BN statistics psum — and no spatial communication at all."""
+        """The shard_map DP step's cross-device traffic is EXACTLY four
+        all-reduces regardless of mesh size — one per reduction group
+        written in the step (gradient pmean, loss-dict pmean, metric-count
+        psum, sync-BN statistics pmean; Trainer.train_step + PFN), each
+        merged from its per-leaf reduces by XLA's all-reduce combiner —
+        and no spatial communication at all."""
         from det3d_tpu.parallel.mesh import (
             batch_sharded,
             collective_counts,
@@ -273,7 +275,7 @@ class TestScalingStructure:
             .compile().as_text()
         )
         counts = collective_counts(txt)
-        assert counts.get("all-reduce") == 2, counts
+        assert counts.get("all-reduce") == 4, counts
         assert "collective-permute" not in counts, counts
 
     @pytest.mark.parametrize("sp", [2, 4, 8])
