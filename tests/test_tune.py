@@ -70,3 +70,18 @@ def test_only_requested_levers_measured(tuned):
     report, _ = tuned
     measured = {k for m in report["modes"].values() for t in m["trials"] for k in t["levers"]}
     assert measured <= {"pack_w"}
+
+
+def test_every_lever_is_a_config_field():
+    """Lever drift guard: each tune lever must be a real Config field (a
+    deleted lever must leave LEVERS too — round-3 cleanup invariant)."""
+    import dataclasses
+
+    from det3d_tpu.config import Config
+    from det3d_tpu.tune import LEVERS
+
+    fields = {f.name for f in dataclasses.fields(Config)}
+    for name, candidates, modes, _ in LEVERS:
+        assert name in fields, name
+        assert getattr(Config, name) in candidates  # default is a candidate
+        assert set(modes) <= {"infer", "train"}
