@@ -31,8 +31,12 @@ import numpy as np
 from det3d_tpu.data.synthetic import synthetic_cloud  # shared with `cli tune`
 
 
-def measure(config_path: str, iters: int) -> dict:
-    """Measure one geometry; returns {p50_ms, thru_ms, windows}."""
+def measure(config_path: str, iters: int, batch: int = 1) -> dict:
+    """Measure one geometry; returns {p50_ms, thru_ms, windows}.
+
+    `batch > 1`: vmapped two-stage batched inference (the production
+    throughput mode — make_sharded_infer on however many devices divide
+    the batch; 1 on this rig), timed per FRAME with `iters` frames/window."""
     import jax
 
     from det3d_tpu.config import load_config
@@ -43,6 +47,43 @@ def measure(config_path: str, iters: int) -> dict:
     cfg = load_config(config_path, max_points=120_000)
     det = Detector(cfg)
     variables = det.init_variables(jax.random.PRNGKey(0))
+
+    if batch > 1:
+        import math
+
+        from det3d_tpu.parallel.mesh import make_mesh, make_sharded_infer
+
+        mesh = make_mesh(math.gcd(batch, len(jax.devices())))
+        infer_b = make_sharded_infer(det, mesh)
+        host = [
+            synthetic_cloud(cfg.max_points, num_real_points, seed=s)
+            for s in range(num_clouds * batch)
+        ]
+        batches = [
+            jax.device_put(np.stack(host[i * batch : (i + 1) * batch]))
+            for i in range(num_clouds)
+        ]
+        cnt = jax.device_put(np.full((batch,), num_real_points, np.int32))
+        fnb = lambda P: infer_b(variables, P, cnt)  # noqa: E731
+        jax.block_until_ready(fnb(batches[0]))  # compile
+        chunks = max(iters // batch, 4)
+        times = []
+        for i in range(chunks):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fnb(batches[i % num_clouds]))
+            times.append((time.perf_counter() - t0) / batch)
+        windows = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [fnb(batches[i % num_clouds]) for i in range(chunks)]
+            jax.block_until_ready(outs)
+            windows.append((time.perf_counter() - t0) / (chunks * batch) * 1000)
+        return {
+            "p50_ms": float(np.median(times) * 1000),
+            "thru_ms": min(windows),
+            "windows": [round(w, 3) for w in windows],
+            "points": num_real_points,
+        }
 
     clouds = [
         jax.device_put(synthetic_cloud(cfg.max_points, num_real_points, seed=s))
@@ -121,6 +162,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="configs/ntusl_20cm.json")
     ap.add_argument("--iters", type=int, default=48)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="batched-throughput mode: vmapped two-stage "
+                    "inference, per-frame numbers (production serving)")
     ap.add_argument(
         "--skip-10cm", action="store_true",
         help="measure only --config (default runs also record ntusl_10cm "
@@ -137,7 +181,7 @@ def main() -> None:
         pass
 
     _wait_for_backend(max_wait_s=1800.0)
-    primary = measure(args.config, args.iters)
+    primary = measure(args.config, args.iters, batch=args.batch)
     thru_ms = primary["thru_ms"]
     target_ms = 10.0
 
@@ -149,7 +193,9 @@ def main() -> None:
         "config": args.config.split("/")[-1].rsplit(".", 1)[0],
         "baseline": "10ms north-star target (reference publishes no numbers)",
     }
-    if not args.skip_10cm and "ntusl_20cm" in args.config:
+    if args.batch > 1:
+        extra["batch"] = args.batch
+    if args.batch == 1 and not args.skip_10cm and "ntusl_20cm" in args.config:
         import os
 
         # resolve next to this script (a CWD-relative path would die AFTER
