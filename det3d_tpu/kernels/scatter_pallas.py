@@ -102,10 +102,18 @@ def _canvas_s2d_kernel(starts_ref, rows_ref, phase_ref, feats_ref, out_ref, *, t
     output block is (1, tile, 4C))."""
     bi = pl.program_id(0)
     k = pl.program_id(1)
-    out_ref[:] = jnp.zeros_like(out_ref)
-    lo = starts_ref[bi, k]
-    hi = starts_ref[bi, k + 1]
-    base = k * tile
+    _s2d_accumulate_range(
+        starts_ref[bi, k], starts_ref[bi, k + 1], k * tile,
+        rows_ref, phase_ref, feats_ref, out_ref.at[0], tile,
+    )
+
+
+def _s2d_accumulate_range(lo, hi, base, rows_ref, phase_ref, feats_ref,
+                          out_slot, tile: int):
+    """Shared s2d chunk loop: accumulate the sorted pillar range [lo, hi)
+    into `out_slot` (a (tile, 4C) ref view) whose first row is GLOBAL flat
+    canvas row `base`. Used by the plain and the blocked-halo kernels."""
+    out_slot[:] = jnp.zeros_like(out_slot)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, _CHUNK), 0) + base
 
     def body(j, _):
@@ -125,7 +133,7 @@ def _canvas_s2d_kernel(starts_ref, rows_ref, phase_ref, feats_ref, out_ref, *, t
             onehot, wide, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        out_ref[0] += hit.astype(out_ref.dtype)
+        out_slot[:] += hit.astype(out_slot.dtype)
         return 0
 
     jax.lax.fori_loop(lo // _CHUNK, _chunk_hi(lo, hi), body, 0)
@@ -363,33 +371,12 @@ def _canvas_s2d_blocked_kernel(
     bi = pl.program_id(0)
     blk = pl.program_id(1)
     k = pl.program_id(2)
-    out_ref[:] = jnp.zeros_like(out_ref)
-    lo = starts_ref[bi, blk * (ntiles + 1) + k]
-    hi = starts_ref[bi, blk * (ntiles + 1) + k + 1]
     base = (blk * rows_per_blk - halo_top) * ny2 + k * tile  # global flat row
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, _CHUNK), 0) + base
-
-    def body(j, _):
-        a = pl.multiple_of(j * _CHUNK, _CHUNK)
-        rchunk = rows_ref[0, 0:1, pl.ds(a, _CHUNK)]     # (1, 128) int32
-        pchunk = phase_ref[0, 0:1, pl.ds(a, _CHUNK)]    # (1, 128) int32
-        fchunk = feats_ref[0, pl.ds(a, _CHUNK), :]      # (128, C)
-        wide = jnp.concatenate(
-            [
-                jnp.where(pchunk.T == p, fchunk, jnp.zeros_like(fchunk))
-                for p in (0, 1, 2, 3)
-            ],
-            axis=1,
-        )                                               # (128, 4C)
-        onehot = (row_ids == rchunk).astype(fchunk.dtype)
-        hit = jax.lax.dot_general(
-            onehot, wide, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        out_ref[0, 0] += hit.astype(out_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(lo // _CHUNK, _chunk_hi(lo, hi), body, 0)
+    _s2d_accumulate_range(
+        starts_ref[bi, blk * (ntiles + 1) + k],
+        starts_ref[bi, blk * (ntiles + 1) + k + 1],
+        base, rows_ref, phase_ref, feats_ref, out_ref.at[0, 0], tile,
+    )
 
 
 @functools.partial(

@@ -668,6 +668,22 @@ class PackedPointwise(nn.Module):
         return y
 
 
+def block0_blocking(grid_xy: tuple[int, int]) -> tuple[int, tuple[int, int]]:
+    """(nblk, halo) for the blocked-halo block0 at this geometry, or
+    (1, …) when the grid can't block (blocked path disabled then).
+
+    Halo = (4, 3): block0's VALID-row convs consume 1 top row (the 2-tap
+    entry) + 1 row per side per residual conv (3 of them at depth 2) — the
+    margins retire exactly at the last conv (RPN._blocked_block0 asserts
+    depth 2). nblk = the largest of 8/4/2 dividing the canvas rows with at
+    least 8 rows per block (sub-halo-size blocks pay more duplicate-halo
+    MACs than the s2b copy they remove)."""
+    halo = (4, 3)
+    nx2 = grid_xy[0] // 2
+    nblk = next((n for n in (8, 4, 2) if nx2 % n == 0 and nx2 // n > 7), 1)
+    return nblk, halo
+
+
 def _instance_norm_blocked(
     x5: jax.Array, top: int, bot: int, valid_rows: int
 ) -> jax.Array:
@@ -1085,8 +1101,7 @@ class PointPillars(nn.Module):
         # — XLA's space-to-batch pad + blocking copy of the 4C canvas never
         # exists. Excluded under spatial sharding (the canvas constraint
         # needs the plain dense layout).
-        nx2 = grid_xy[0] // 2
-        nblk = next((n for n in (8, 4, 2) if nx2 % n == 0 and nx2 // n > 7), 1)
+        nblk, halo = block0_blocking(grid_xy)
         blocked = (
             pack and not train and nblk > 1
             and getattr(self.cfg, "block0_blocked", False)
@@ -1096,7 +1111,7 @@ class PointPillars(nn.Module):
             from det3d_tpu.kernels.scatter_pallas import scatter_to_bev_s2d_blocked
 
             canvas = scatter_to_bev_s2d_blocked(
-                pillar_features, coors, grid_xy, nblk, (4, 3), not on_tpu
+                pillar_features, coors, grid_xy, nblk, halo, not on_tpu
             )
         elif pack:
             if on_tpu:
