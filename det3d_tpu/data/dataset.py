@@ -87,14 +87,32 @@ class DetectionDataset:
         self.infos: list[dict] = []
         for p in info_paths:
             with open(self.data_root / p, "rb") as f:
-                self.infos += pickle.load(f)
+                split = pickle.load(f)
+            # data paths may be data_root-relative (the reference's
+            # create_info convention, create_info.py:58) OR split-dir-
+            # relative (ours: "velodyne/<id>.bin" next to data_info.pkl) —
+            # remember each pickle's directory so both layouts resolve
+            info_dir = str((self.data_root / p).parent)
+            for info in split:
+                info.setdefault("_info_dir", info_dir)
+            self.infos += split
         remap_class_names(self.infos)
 
     def __len__(self) -> int:
         return len(self.infos)
 
+    def resolve_path(self, info: dict, key: str = "velodyne_path") -> Path:
+        """data_root-relative first (reference layout), else relative to the
+        info pickle's own directory (our create_info's split layout)."""
+        path = self.data_root / info[key]
+        if not path.exists() and "_info_dir" in info:
+            alt = Path(info["_info_dir"]) / info[key]
+            if alt.exists():
+                return alt
+        return path
+
     def load_points(self, info: dict) -> np.ndarray:
-        path = self.data_root / info["velodyne_path"]
+        path = self.resolve_path(info)
         return np.fromfile(path, dtype=np.float32).reshape(-1, self.cfg.num_point_features)
 
     def __getitem__(self, idx: int) -> dict:
@@ -189,7 +207,7 @@ class DetectionDataset:
             num_threads=num_threads,
         ) as ld:
             for i in idxs:
-                ld.submit(self.data_root / self.infos[i]["velodyne_path"])
+                ld.submit(self.resolve_path(self.infos[i]))
             ld.finish()
             for i in idxs:
                 pts, n = ld.next()

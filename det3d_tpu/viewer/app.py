@@ -44,8 +44,11 @@ class SceneViewer:
         self.dt_annos: list[dict] | None = None
         if info_path:
             root = Path(cfg.data_root)
-            with open(root / info_path if not Path(info_path).is_absolute() else info_path, "rb") as f:
+            full = root / info_path if not Path(info_path).is_absolute() else Path(info_path)
+            with open(full, "rb") as f:
                 self.infos = pickle.load(f)
+            for info in self.infos:
+                info.setdefault("_info_dir", str(full.parent))
         if dt_path:
             with open(dt_path, "rb") as f:
                 self.dt_annos = pickle.load(f)
@@ -53,9 +56,20 @@ class SceneViewer:
     def __len__(self) -> int:
         return len(self.infos)
 
+    def _resolve(self, info: dict, key: str) -> Path:
+        """data_root-relative first (reference create_info layout), else
+        relative to the info pickle's directory (our split layout) — same
+        rule as data/dataset.DetectionDataset.resolve_path."""
+        path = Path(self.cfg.data_root) / info[key]
+        if not path.exists() and "_info_dir" in info:
+            alt = Path(info["_info_dir"]) / info[key]
+            if alt.exists():
+                return alt
+        return path
+
     def load_points(self, info: dict) -> np.ndarray:
         return np.fromfile(
-            Path(self.cfg.data_root) / info["velodyne_path"], dtype=np.float32
+            self._resolve(info, "velodyne_path"), dtype=np.float32
         ).reshape(-1, self.cfg.num_point_features)
 
     def build_renderer(
@@ -135,7 +149,7 @@ class SceneViewer:
             raise ValueError(
                 f"frame {idx}: info lacks {missing} — cannot project boxes"
             )
-        image = mpimg.imread(str(Path(self.cfg.data_root) / info["img_path"]))
+        image = mpimg.imread(str(self._resolve(info, "img_path")))
 
         gt_boxes = None
         if "annos" in info:

@@ -107,3 +107,41 @@ def test_lidar_only_and_missing_labels(tmp_path):
     _write_cloud(root / "velodyne" / "000003.bin", np.random.RandomState(2))
     infos = create_info(root)
     assert len(infos) == 1 and "annos" not in infos[0]
+
+
+def test_dataset_resolves_split_relative_paths(tmp_path):
+    """Multi-split layout (the reference's train_info convention:
+    data_root/<split>/data_info.pkl with velodyne/ NEXT TO each pickle):
+    DetectionDataset must resolve our create_info's split-relative
+    velodyne_path against the info pickle's directory — joining data_root
+    alone breaks every split but the root itself (round-4 file-pipeline
+    drive caught this)."""
+    from det3d_tpu.config import load_config
+    from det3d_tpu.data.create_info import create_info
+    from det3d_tpu.data.dataset import DetectionDataset
+
+    root = tmp_path
+    rng = np.random.RandomState(0)
+    for split in ("train", "eval"):
+        (root / split / "velodyne").mkdir(parents=True)
+        (root / split / "label_all").mkdir()
+        _write_cloud(root / split / "velodyne" / "000000.bin", rng)
+        (root / split / "label_all" / "000000.txt").write_text(
+            "vehicle 0.0 0 0.0 0 0 0 0 1.5 1.6 4.0 3.0 0.0 -1.0 0.3\n"
+        )
+        create_info(root / split, waymo=True)
+
+    cfg = load_config({
+        "data_root": str(root), "max_points": 4096,
+        "detection_range": [-16.0, -16.0, -2.5, 16.0, 16.0, 8.5],
+        "voxel_size": [1.0, 1.0, 11.0], "max_voxels": 64,
+        "max_num_points": 5,
+    })
+    ds = DetectionDataset(
+        cfg, ["train/data_info.pkl", "eval/data_info.pkl"],
+        training=False,
+    )
+    assert len(ds) == 2
+    for i in range(2):
+        pts = ds.load_points(ds.infos[i])
+        assert pts.shape[1] == 4 and len(pts) > 0
