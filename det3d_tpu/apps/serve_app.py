@@ -120,8 +120,10 @@ def _load_variables(cfg: Config, det: Detector, checkpoint: str | None):
 def _run_server(cfg: Config, producer_body, *, checkpoint, spatial) -> list[float]:
     """Shared serving scaffold: build detector(+spatial infer_fn)/server,
     warm up, run `producer_body(server)` in a daemon thread (server.stop()
-    guaranteed on ANY exit, or spin() would wait forever), consume, print
-    the latency percentiles. Both transports differ only in the producer."""
+    guaranteed on ANY exit, or spin() would wait forever; a producer
+    exception re-raises in the caller after the drained frames are served
+    — not swallowed by the thread), consume, print the latency
+    percentiles. Both transports differ only in the producer."""
     infer_fn = None
     if spatial:
         from det3d_tpu.parallel.mesh import make_spatial_infer, make_spatial_mesh
@@ -135,9 +137,13 @@ def _run_server(cfg: Config, producer_body, *, checkpoint, spatial) -> list[floa
     server = PointCloudServer(cfg, variables, detector=det, infer_fn=infer_fn)
     server.warmup()
 
+    failure: list[BaseException] = []
+
     def producer():
         try:
             producer_body(server)
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            failure.append(e)
         finally:
             server.stop()
 
@@ -145,6 +151,8 @@ def _run_server(cfg: Config, producer_body, *, checkpoint, spatial) -> list[floa
     t.start()
     server.spin()
     t.join()
+    if failure:
+        raise failure[0]
     lat = np.asarray(server.latencies) * 1e3
     if len(lat):
         print(

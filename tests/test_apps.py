@@ -254,6 +254,19 @@ class TestServer:
         with pytest.raises(FileNotFoundError):
             serve_replay(small_cfg(), str(tmp_path / "nope"), hz=100.0)
 
+    def test_replay_malformed_bin_raises_not_hangs(self, tmp_path, monkeypatch):
+        """A producer-thread failure (e.g. a .bin whose byte count is not a
+        multiple of the point stride) must surface as an exception in the
+        caller, not a silent thread death that leaves spin() waiting."""
+        from det3d_tpu.apps.serve_app import serve_replay
+        from det3d_tpu.data import native_loader
+
+        # force the numpy fallback path, whose reshape is the failure site
+        monkeypatch.setattr(native_loader, "available", lambda: False)
+        (tmp_path / "000000.bin").write_bytes(b"\x00" * 13)  # not /16
+        with pytest.raises(ValueError):
+            serve_replay(small_cfg(), str(tmp_path), hz=100.0)
+
 
 class TestViewer:
     def test_render_scene_writes_png(self, tmp_path):
