@@ -211,8 +211,12 @@ def _stage_breakdown(det: Detector, variables, sample, timers: StageTimers) -> N
     preds = jax.block_until_ready(
         model(variables, frame.voxels[None], frame.num_points_per_voxel[None], frame.coors[None])
     )
-    preds1 = {k: v[0] for k, v in preds.items()}
-    post = jax.jit(det.postprocess)
+    # tree.map descends the split-head path's per-parity tuples too —
+    # mirrors pipeline.Detector.infer_candidates' batch-dim squeeze
+    preds1 = jax.tree.map(lambda v: v[0], preds)
+    post = jax.jit(
+        lambda p, m: det.postprocess.finalize_stage(det.postprocess.decode_stage(p, m))
+    )
     jax.block_until_ready(post(preds1, mask))
 
     for name, fn, args in (

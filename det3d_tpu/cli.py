@@ -221,16 +221,21 @@ def main(argv: list[str] | None = None) -> None:
     overrides = {} if args.max_points is None else {"max_points": args.max_points}
     cfg = load_config(args.config, **overrides)
 
-    if args.cmd == "train" and str(cfg.compute_dtype) in ("bfloat16", "bf16"):
+    if (
+        args.cmd in ("train", "infer", "serve", "bench-rpn", "tune")
+        and str(cfg.compute_dtype) in ("bfloat16", "bf16")
+    ):
         import jax
 
         if jax.default_backend() == "cpu":
             # XLA:CPU's thunk runtime has no bf16 dot (`DotThunk: BF16 x
-            # BF16 = F32 UNIMPLEMENTED`), which only the TRAIN step hits
-            # (the PFN-dense wgrad) — promote for training on the CPU debug
-            # backend; inference/export keep the configured dtype.
-            print("train on cpu backend: promoting compute_dtype bfloat16 -> "
-                  "float32 (XLA:CPU has no bf16 dot kernel)")
+            # BF16 = F32 UNIMPLEMENTED`). Every command that EXECUTES the
+            # model hits one (train: PFN-dense wgrad; infer/serve: the
+            # head's bf16 dot with f32 accumulation) — promote on the CPU
+            # debug backend. `export` keeps the configured dtype: it only
+            # serializes, and the artifact's dtype is a deployment choice.
+            print(f"{args.cmd} on cpu backend: promoting compute_dtype "
+                  "bfloat16 -> float32 (XLA:CPU has no bf16 dot kernel)")
             cfg = cfg.replace(compute_dtype="float32")
 
     if args.cmd == "train":

@@ -402,6 +402,18 @@ class TestCLI:
 
 
 class TestBatchedInfer:
+    def test_breakdown_runs_on_current_preds_contract(self):
+        """--breakdown manually splits pre/net/post: its post stage must
+        track the live preds contract (the round-3 split-head per-parity
+        tuples broke the old dict-of-arrays walk — caught by a CLI drive,
+        not tests; pinned here)."""
+        from det3d_tpu.apps.infer_app import infer
+
+        cfg = small_cfg(max_points=2048, max_voxels=256)
+        r = infer(cfg, synthetic=True, num_frames=2,
+                  range_thresholds=(80.0,), seed=3, breakdown=True)
+        assert len(r["dt_annos"]) == 2
+
     def test_batched_eval_matches_per_frame(self):
         """--batch N eval must produce the same detection sets as per-frame
         (conv batching only reassociates reductions: tiny float drift)."""
