@@ -109,6 +109,100 @@ def _suffix_min_2level(a: jax.Array, n: int) -> jax.Array:
     return out.reshape(-1)[:n]
 
 
+class FcfsSegments(NamedTuple):
+    """Sorted segment structure shared by the dense voxelizer and the
+    segmented PFN (`ops/pfn_segmented.py`): the carried grouping sort plus
+    per-slot windows `[headpos[s], headpos[s]+counts[s])` into `spoints`,
+    with slots in reference first-come-first-serve order."""
+
+    spoints: jax.Array      # (n, c) points sorted by cell id (stable)
+    headpos: jax.Array      # (max_voxels,) sorted-array row of each slot's head
+    counts: jax.Array       # (max_voxels,) int32 points per slot (≤ max_num_points)
+    coors: jax.Array        # (max_voxels, 3) int32; -1 on empty slots
+    voxel_num: jax.Array    # () int32
+    valid_slot: jax.Array   # (max_voxels,) bool
+
+
+def fcfs_segments(
+    points: jax.Array, num_points: jax.Array, spec: VoxelizerSpec
+) -> FcfsSegments:
+    """Group points into per-pillar segments of the sorted array.
+
+    The heavy machinery of the fcfs voxelizer (everything except the final
+    dense `(V, P, C)` window gather): one stable carried sort groups points
+    by cell, a second small sort yields first-occurrence slot order, and a
+    2-level suffix-min scan bounds each slot's segment."""
+    n, c = points.shape
+    nx, ny, nz = spec.grid_size
+    num_cells = nx * ny * nz
+
+    coor, inside = point_cell_coords(points, spec)
+    rank = jnp.arange(n, dtype=jnp.int32)
+    valid = inside & (rank < num_points)
+
+    cell_id = coor[:, 0] * (ny * nz) + coor[:, 1] * nz + coor[:, 2]
+    cell_id = jnp.where(valid, cell_id, num_cells)  # sentinel sorts last
+
+    # --- stable grouping sort, CARRYING the point data ----------------
+    # Sorting the coordinate columns alongside the key moves the data
+    # inside the sort network; the explicit 120k-row `points[order]`
+    # gather it replaces cost ~0.8 ms (rows of 16 B are latency-bound,
+    # sort passes are streaming).
+    cols = tuple(points[:, i] for i in range(c))
+    sorted_ops = jax.lax.sort(
+        (cell_id,) + cols + (rank,), num_keys=1, is_stable=True
+    )
+    sid = sorted_ops[0]
+    spoints = jnp.stack(sorted_ops[1 : 1 + c], axis=1)   # (n, c) sorted
+    order = sorted_ops[-1]                                # original index
+    svalid = sid < num_cells
+
+    prev = jnp.concatenate([jnp.full((1,), -1, sid.dtype), sid[:-1]])
+    head = (sid != prev) & svalid                # first point of each pillar
+    pos = jnp.arange(n, dtype=jnp.int32)
+    voxel_num = jnp.minimum(jnp.sum(head.astype(jnp.int32)), spec.max_voxels)
+
+    # fcfs slot order via a SECOND small sort: heads keyed by their
+    # original arrival index sort to the front in first-occurrence
+    # order, and the carried `pos` is exactly headpos[s]. (Replaces a
+    # scatter + 1D cumsum + scatter chain that cost ~1.5 ms: XLA's 1D
+    # scans/scatters on 120k elements are lane-hostile.)
+    head_key = jnp.where(head, order, n)
+    _, headpos_all = jax.lax.sort((head_key, pos), num_keys=1)
+    headpos = headpos_all[: spec.max_voxels]
+    slot_ids = jnp.arange(spec.max_voxels, dtype=jnp.int32)
+    valid_slot = slot_ids < voxel_num
+
+    # exclusive suffix-min of head positions → end of each head's segment
+    # (clamped to the valid-point count: invalid sentinel points sort
+    # last and must not extend the final pillar's segment)
+    total_valid = jnp.sum(svalid.astype(jnp.int32))
+    arr = jnp.where(head, pos, n)
+    suffix_min = _suffix_min_2level(arr, n)
+    seg_end = jnp.minimum(
+        jnp.concatenate([suffix_min[1:], jnp.full((1,), n, jnp.int32)])[headpos],
+        total_valid,
+    )
+    counts = jnp.where(
+        valid_slot,
+        jnp.minimum(seg_end - headpos, spec.max_num_points),
+        0,
+    ).astype(jnp.int32)
+
+    # coors derived arithmetically from the sorted cell id (bit-exact,
+    # no gathered coordinate columns needed)
+    sid_slot = sid[headpos]
+    cx = sid_slot // (ny * nz)
+    rem = sid_slot % (ny * nz)
+    coors = jnp.where(
+        valid_slot[:, None],
+        jnp.stack([cx, rem // nz, rem % nz], axis=1),
+        -1,
+    ).astype(jnp.int32)
+
+    return FcfsSegments(spoints, headpos, counts, coors, voxel_num, valid_slot)
+
+
 def voxelize(
     points: jax.Array,
     num_points: jax.Array,
@@ -130,70 +224,9 @@ def voxelize(
     nx, ny, nz = spec.grid_size
     num_cells = nx * ny * nz
 
-    coor, inside = point_cell_coords(points, spec)
-    rank = jnp.arange(n, dtype=jnp.int32)
-    valid = inside & (rank < num_points)
-
-    cell_id = coor[:, 0] * (ny * nz) + coor[:, 1] * nz + coor[:, 2]
-    cell_id = jnp.where(valid, cell_id, num_cells)  # sentinel sorts last
-
     if fcfs:
-        # --- stable grouping sort, CARRYING the point data ----------------
-        # Sorting the coordinate columns alongside the key moves the data
-        # inside the sort network; the explicit 120k-row `points[order]`
-        # gather it replaces cost ~0.8 ms (rows of 16 B are latency-bound,
-        # sort passes are streaming).
-        cols = tuple(points[:, i] for i in range(c))
-        sorted_ops = jax.lax.sort(
-            (cell_id,) + cols + (rank,), num_keys=1, is_stable=True
-        )
-        sid = sorted_ops[0]
-        spoints = jnp.stack(sorted_ops[1 : 1 + c], axis=1)   # (n, c) sorted
-        order = sorted_ops[-1]                                # original index
-        svalid = sid < num_cells
-
-        prev = jnp.concatenate([jnp.full((1,), -1, sid.dtype), sid[:-1]])
-        head = (sid != prev) & svalid                # first point of each pillar
-        pos = jnp.arange(n, dtype=jnp.int32)
-        voxel_num = jnp.minimum(jnp.sum(head.astype(jnp.int32)), spec.max_voxels)
-
-        # fcfs slot order via a SECOND small sort: heads keyed by their
-        # original arrival index sort to the front in first-occurrence
-        # order, and the carried `pos` is exactly headpos[s]. (Replaces a
-        # scatter + 1D cumsum + scatter chain that cost ~1.5 ms: XLA's 1D
-        # scans/scatters on 120k elements are lane-hostile.)
-        head_key = jnp.where(head, order, n)
-        _, headpos_all = jax.lax.sort((head_key, pos), num_keys=1)
-        headpos = headpos_all[: spec.max_voxels]
-        slot_ids = jnp.arange(spec.max_voxels, dtype=jnp.int32)
-        valid_slot = slot_ids < voxel_num
-
-        # exclusive suffix-min of head positions → end of each head's segment
-        # (clamped to the valid-point count: invalid sentinel points sort
-        # last and must not extend the final pillar's segment)
-        total_valid = jnp.sum(svalid.astype(jnp.int32))
-        arr = jnp.where(head, pos, n)
-        suffix_min = _suffix_min_2level(arr, n)
-        seg_end = jnp.minimum(
-            jnp.concatenate([suffix_min[1:], jnp.full((1,), n, jnp.int32)])[headpos],
-            total_valid,
-        )
-        counts = jnp.where(
-            valid_slot,
-            jnp.minimum(seg_end - headpos, spec.max_num_points),
-            0,
-        ).astype(jnp.int32)
-
-        # coors derived arithmetically from the sorted cell id (bit-exact,
-        # no gathered coordinate columns needed)
-        sid_slot = sid[headpos]
-        cx = sid_slot // (ny * nz)
-        rem = sid_slot % (ny * nz)
-        coors = jnp.where(
-            valid_slot[:, None],
-            jnp.stack([cx, rem // nz, rem % nz], axis=1),
-            -1,
-        ).astype(jnp.int32)
+        seg = fcfs_segments(points, num_points, spec)
+        headpos, counts, valid_slot = seg.headpos, seg.counts, seg.valid_slot
 
         # voxels: segments are consecutive in the sorted order, so slot s's
         # points are rows [headpos[s], headpos[s]+P) of spoints — one (V, P)
@@ -207,10 +240,17 @@ def voxelize(
         )
         voxels = jnp.where(
             slot_valid[..., None],
-            spoints[jnp.clip(src, 0, n - 1)],
+            seg.spoints[jnp.clip(src, 0, n - 1)],
             0.0,
         )
-        return VoxelizedFrame(voxels, coors, counts, voxel_num)
+        return VoxelizedFrame(voxels, seg.coors, counts, seg.voxel_num)
+
+    coor, inside = point_cell_coords(points, spec)
+    rank = jnp.arange(n, dtype=jnp.int32)
+    valid = inside & (rank < num_points)
+
+    cell_id = coor[:, 0] * (ny * nz) + coor[:, 1] * nz + coor[:, 2]
+    cell_id = jnp.where(valid, cell_id, num_cells)  # sentinel sorts last
 
     # --- cell-id-ordered slots (fcfs=False): original sort + scatters -----
     order = jnp.argsort(cell_id, stable=True)          # (n,) original index per sorted pos

@@ -24,6 +24,7 @@ from det3d_tpu.ops.anchor_mask import (
     compute_anchors_mask,
     compute_anchors_mask_separable,
 )
+from det3d_tpu.ops.pfn_segmented import fold_from_variables, pillar_features_segmented
 from det3d_tpu.ops.voxelize import VoxelizerSpec, voxelize
 from det3d_tpu.postprocess import Detections, make_postprocessor, to_annos
 
@@ -68,18 +69,20 @@ class Detector:
         The mask is spatial anchor-major (nch, fx, fy) — the preds contract's
         spatial form; row-major flatten recovers the legacy flat order."""
         frame = voxelize(points, num_points, self.spec, fcfs=self._fcfs)
+        return frame, self.anchors_mask(frame.coors)
+
+    def anchors_mask(self, coors: jax.Array) -> jax.Array:
+        """Anchor occupancy mask from pillar coordinates (order-invariant)."""
         if self.anchor_set.mask_index_vectors is not None:
             # separable fast path: row/col SAT takes instead of a 1.44M-element
             # gather (~60ms → sub-ms on TPU); bit-identical results
-            anchors_mask = compute_anchors_mask_separable(
-                frame.coors, self.anchor_set.mask_index_vectors, self._grid_xy
+            return compute_anchors_mask_separable(
+                coors, self.anchor_set.mask_index_vectors, self._grid_xy
             )
-        else:
-            fms = self.cfg.feature_map_size
-            anchors_mask = compute_anchors_mask(
-                frame.coors, self._corner_cells, self._grid_xy
-            ).reshape(self.anchor_set.num_channels, fms[0], fms[1])
-        return frame, anchors_mask
+        fms = self.cfg.feature_map_size
+        return compute_anchors_mask(
+            coors, self._corner_cells, self._grid_xy
+        ).reshape(self.anchor_set.num_channels, fms[0], fms[1])
 
     def infer(self, variables: Any, points: jax.Array, num_points: jax.Array) -> Detections:
         """Single-frame, end-to-end: points (max_points, C) → Detections."""
@@ -96,6 +99,31 @@ class Detector:
         every convolution ~3x (measured via HLO bisection — estimated conv
         cycles 3.1M vs 6.0M). The NMS stage therefore runs as a second
         dispatch (see infer_jit); stage-boundary tensors are ~3x1000 rows."""
+        if getattr(self.cfg, "pfn_segmented", False) and self._fcfs:
+            # segmented PFN (ops/pfn_segmented.py): pillar features straight
+            # from the sorted point array — the dense (V, P, ·) buffers and
+            # the PFN module never exist in the inference graph
+            fold = fold_from_variables(
+                variables, num_point_features=self.cfg.num_point_features
+            )
+            feats, coors, _, _ = pillar_features_segmented(
+                points,
+                num_points,
+                self.spec,
+                fold,
+                compute_dtype=jnp.dtype(self.cfg.compute_dtype),
+            )
+            anchors_mask = self.anchors_mask(coors)
+            preds = self.model.apply(
+                variables,
+                None,
+                None,
+                coors[None],
+                train=False,
+                pillar_features=feats[None],
+            )
+            preds = jax.tree.map(lambda v: v[0], preds)
+            return self.postprocess.decode_stage(preds, anchors_mask)
         frame, anchors_mask = self.preprocess(points, num_points)
         preds = self.model.apply(
             variables,
