@@ -19,15 +19,14 @@ already builds. Two observations collapse the whole PFN:
    shift: ``max_i relu(y_i) = relu(max_i (p_i @ Wp) + t_s)``. The only
    segment-shaped reduction left is a segmented MAX of ``u = p @ Wp``.
 
-With ``max_num_points`` small (10-15 in the production configs) that
-segmented max is a textbook sparse-table RMQ: ``ceil(log2 P)`` shifted-max
-levels over the sorted array (idempotent max makes the two query windows
-``L_t[h]`` / ``L_t[h+cnt-2^t]`` overlap harmlessly, and both windows stay
-inside the segment, so no flags or masking are needed anywhere). Cluster
-means come from per-512-row *local* cumsums — precision-safe (partial sums
-stay O(512·range) so f32 error stays below bf16 resolution, unlike a global
-120k-element cumsum whose difference loses ~1 m of precision) and exact
-across rows because a ≤P-point segment spans at most two rows.
+The remaining segmented max + xyz sums run in ONE Pallas kernel over the
+sorted array (kernels/pfn_pallas.pfn_window_tables): windowed suffix
+max/sum by doubling passes entirely in VMEM. A pure-XLA sparse-table RMQ
+formulation of the same reduction was measured 0.4-0.6 ms SLOWER than the
+dense path end-to-end (BASELINE.md round-4 close) — its ``log2(P)``
+shifted-max levels materialize ~4n·F of HBM table traffic that the kernel
+never emits. The caller-side cost is two V-row head gathers instead of
+the dense path's V·P-row window gather.
 
 Nothing here materializes per-(pillar, slot) buffers: the dense path's
 ``(V, P, C)`` window gather (latency-bound scattered rows), the ``(V, P,
@@ -101,6 +100,7 @@ def pillar_features_segmented(
     fold: PFNFold,
     *,
     compute_dtype: Any = jnp.bfloat16,
+    interpret: bool | None = None,
 ):
     """Points → (pillar_features (V, F), coors, counts, voxel_num).
 
@@ -108,58 +108,31 @@ def pillar_features_segmented(
     floating-point reassociation (exact decoration/max/mean/floor semantics,
     including the reference's first-P-points cap and the relu(BN(0)) padding
     floor — pointpillars8_shared.py:45-60)."""
-    n, _ = points.shape
-    f = fold.beta.shape[0]
-    p_cap = spec.max_num_points
-    cd = jnp.dtype(compute_dtype)
+    from det3d_tpu.kernels.pfn_pallas import pfn_window_tables
 
-    seg = fcfs_segments(points, num_points, spec)
-    sp = seg.spoints                                         # (n, C) f32
+    n, _ = points.shape
+    cd = jnp.dtype(compute_dtype)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    seg = fcfs_segments(points, num_points, spec, row_windows=True)
     cnt = seg.counts
     h = seg.headpos
 
-    # per-point term u = p @ Wp on the sorted array, stored in compute dtype
-    u = jnp.dot(
-        sp.astype(cd), fold.wp.astype(cd), preferred_element_type=jnp.float32
-    ).astype(cd)                                             # (n, F)
-
-    # sparse-table RMQ levels: L_k[i] = max u[i : i + 2^k] (shift fill -inf)
-    k_levels = max(1, int(p_cap).bit_length())
-    neg = jnp.asarray(float("-inf"), cd)
-    levels = [u]
-    d = 1
-    for _ in range(k_levels - 1):
-        prev = levels[-1]
-        shifted = jnp.concatenate([prev[d:], jnp.full((d, f), neg, cd)], axis=0)
-        levels.append(jnp.maximum(prev, shifted))
-        d *= 2
-    ltab = jnp.concatenate(levels, axis=0)                   # (K*n, F)
-
-    # query: max over [h, h+cnt) = max(L_t[h], L_t[h+cnt-2^t]), t = ⌊log2 cnt⌋
-    t = jnp.zeros_like(cnt)
-    for k in range(1, k_levels):
-        t = t + (cnt >= (1 << k)).astype(jnp.int32)
-    pow_t = jnp.left_shift(jnp.ones_like(cnt), t)
-    qidx = jnp.stack([t * n + h, t * n + h + cnt - pow_t], axis=1)
-    q = ltab[jnp.clip(qidx, 0, k_levels * n - 1)]            # (V, 2, F) gather
-    umax = jnp.max(q, axis=1).astype(jnp.float32)            # (V, F)
-
-    # cluster means from per-row LOCAL cumsums (see module docstring)
-    bsz = 512
-    r = (n + bsz - 1) // bsz
-    xyz = sp[:, :3]
-    xyzp = jnp.concatenate([xyz, jnp.zeros((r * bsz - n, 3), xyz.dtype)], axis=0)
-    lc = jnp.cumsum(xyzp.reshape(r, bsz, 3), axis=1)         # inclusive, local
-    rowtot = lc[:, -1, :]                                    # (r, 3)
-    lc = lc.reshape(r * bsz, 3)[:n]
-
-    e = jnp.clip(h + cnt - 1, 0, n - 1)                      # inclusive end
+    # windowed suffix tables over the sorted array, all-VMEM (doubling
+    # passes; kernels/pfn_pallas.py) — m[i] = max(u[i : i+wlen]),
+    # s[i, :3] = sum(xyz[i : i+wlen])
+    m_tab, s_tab = pfn_window_tables(
+        seg.spoints,
+        seg.row_wlen,
+        fold.wp,
+        spec.max_num_points,
+        out_dtype=cd,
+        interpret=interpret,
+    )
     hc = jnp.clip(h, 0, n - 1)
-    cat = jnp.concatenate([lc, xyz], axis=1)                 # (n, 6)
-    g = cat[jnp.stack([hc, e], axis=1)]                      # (V, 2, 6) gather
-    # sum over [h, e]: local-csum difference + own row's total iff spanning
-    span = ((e // bsz) - (hc // bsz)).astype(xyz.dtype)      # 0 or 1
-    s_xyz = g[:, 1, :3] - g[:, 0, :3] + g[:, 0, 3:] + span[:, None] * rowtot[hc // bsz]
+    umax = m_tab[hc].astype(jnp.float32)                     # (V, F) head gather
+    s_xyz = s_tab[hc][:, :3]                                 # (V, 3) head gather
     mean = s_xyz / jnp.maximum(cnt, 1).astype(jnp.float32)[:, None]
 
     # per-pillar shift t_s = beta - m @ Wm - c @ Wc
@@ -176,7 +149,7 @@ def pillar_features_segmented(
     y = jax.nn.relu(umax + tvec)
     # non-full pillars max against the padding-slot constant relu(beta)
     floor = jax.nn.relu(fold.beta)[None, :].astype(y.dtype)
-    y = jnp.where((cnt < p_cap)[:, None], jnp.maximum(y, floor), y)
+    y = jnp.where((cnt < spec.max_num_points)[:, None], jnp.maximum(y, floor), y)
     live = (cnt > 0) & seg.valid_slot
     feats = jnp.where(live[:, None], y, 0.0).astype(cd)
     return feats, seg.coors, cnt, seg.voxel_num

@@ -179,3 +179,39 @@ def test_detector_end_to_end_flag_parity():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
         )
+
+
+def test_window_tables_block_boundaries():
+    """Direct kernel test (interpret): windows crossing the block boundary
+    must be exact — tiny block_rows forces every few segments across a
+    halo edge, including full-cap and over-cap (dead-row) segments."""
+    from det3d_tpu.kernels.pfn_pallas import pfn_window_tables
+
+    r = np.random.RandomState(7)
+    p_cap, c, f = 6, 4, 16
+    # hand-built sorted structure: segment lengths 1..14 (over-cap included)
+    seg_lens = r.randint(1, 15, size=60)
+    n = int(seg_lens.sum())
+    sp = r.randn(n, c).astype(np.float32)
+    wlen = np.zeros(n, np.int32)
+    heads, pos = [], 0
+    for L in seg_lens:
+        heads.append(pos)
+        k = min(int(L), p_cap)
+        wlen[pos : pos + L] = np.maximum(pos + k - np.arange(pos, pos + L), -3)
+        pos += L
+    wp = r.randn(c, f).astype(np.float32)
+
+    m, s = pfn_window_tables(
+        jnp.asarray(sp), jnp.asarray(wlen), jnp.asarray(wp), p_cap,
+        out_dtype=jnp.float32, block_rows=16, interpret=True,
+    )
+    u = sp @ wp
+    for h, L in zip(heads, seg_lens):
+        k = min(int(L), p_cap)
+        np.testing.assert_allclose(
+            np.asarray(m)[h], u[h : h + k].max(0), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(s)[h, :3], sp[h : h + k, :3].sum(0), rtol=1e-5, atol=1e-5
+        )
