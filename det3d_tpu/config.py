@@ -123,7 +123,8 @@ class Config:
     pfn_segmented: bool = False      # inference: fold the frozen PFN BatchNorm
     #                                  and compute pillar features as segmented
     #                                  reductions over the sorted point array
-    #                                  (sparse-table max + local-cumsum means;
+    #                                  (all-VMEM Pallas windowed max/sum —
+    #                                  kernels/pfn_pallas.py via
     #                                  ops/pfn_segmented.py) — no (V, P, ·)
     #                                  buffers exist. Training keeps the dense
     #                                  PFN (live batch statistics).

@@ -47,10 +47,15 @@ def _window_kernel(blk_ref, nxt_ref, wp_ref, m_ref, s_ref, *, halo: int,
     b = blk_ref.shape[0]
     x = jnp.concatenate([blk_ref[:], nxt_ref[0:halo, :]], axis=0)  # (B+H, 8)
     wlen = x[:, wlen_lane : wlen_lane + 1]                         # (B+H, 1) f32
-    u = jax.lax.dot_general(
-        x, wp_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                              # (B+H, F)
+    # u = x[:, :c] @ wp as c rank-1 broadcast multiply-adds on the VPU.
+    # (A dot_general with the 8-lane contraction dim compiled under Mosaic
+    # but returned silently WRONG values on chip — the narrow contraction
+    # appears to read the full 128-lane tile. Probe-isolated; the VPU form
+    # is exact and the FLOPs are trivial either way.)
+    wp = wp_ref[:]
+    u = x[:, 0:1] * wp[0:1, :]
+    for j in range(1, wlen_lane):
+        u = u + x[:, j : j + 1] * wp[j : j + 1, :]                 # (B+H, F)
     f = u.shape[1]
     neg = jnp.asarray(float("-inf"), u.dtype)
     m, s = u, x
