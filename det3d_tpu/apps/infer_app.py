@@ -205,45 +205,15 @@ def _stage_breakdown(det: Detector, variables, sample, timers: StageTimers) -> N
 
     pts, n = det.pad_points(sample["points"])
     pts = jax.device_put(pts)
-    if getattr(det.cfg, "pfn_segmented", False) and det._fcfs:
-        # segmented-PFN stage split: "pre" = sorted-array pillar features +
-        # mask (ops/pfn_segmented.py), "net" = scatter → RPN → head
-        import jax.numpy as jnp
-
-        from det3d_tpu.ops.pfn_segmented import (
-            fold_from_variables,
-            pillar_features_segmented,
-        )
-
-        def pre_fn(p, cnt):
-            fold = fold_from_variables(
-                variables, num_point_features=det.cfg.num_point_features
-            )
-            feats, coors, _, _ = pillar_features_segmented(
-                p, cnt, det.spec, fold,
-                compute_dtype=jnp.dtype(det.cfg.compute_dtype),
-            )
-            return feats, coors, det.anchors_mask(coors)
-
-        pre = jax.jit(pre_fn)
-        feats, coors, mask = jax.block_until_ready(pre(pts, n))
-        model = jax.jit(
-            lambda v, f, c: det.model.apply(
-                v, None, None, c[None], train=False, pillar_features=f[None]
-            )
-        )
-        preds = jax.block_until_ready(model(variables, feats, coors))
-        net_args = (variables, feats, coors)
-    else:
-        pre = jax.jit(det.preprocess)
-        frame, mask = jax.block_until_ready(pre(pts, n))
-        model = jax.jit(lambda v, a, b, c: det.model.apply(v, a, b, c, train=False))
-        preds = jax.block_until_ready(
-            model(variables, frame.voxels[None], frame.num_points_per_voxel[None], frame.coors[None])
-        )
-        net_args = (
-            variables, frame.voxels[None], frame.num_points_per_voxel[None], frame.coors[None],
-        )
+    pre = jax.jit(det.preprocess)
+    frame, mask = jax.block_until_ready(pre(pts, n))
+    model = jax.jit(lambda v, a, b, c: det.model.apply(v, a, b, c, train=False))
+    preds = jax.block_until_ready(
+        model(variables, frame.voxels[None], frame.num_points_per_voxel[None], frame.coors[None])
+    )
+    net_args = (
+        variables, frame.voxels[None], frame.num_points_per_voxel[None], frame.coors[None],
+    )
     # tree.map descends the split-head path's per-parity tuples too —
     # mirrors pipeline.Detector.infer_candidates' batch-dim squeeze
     preds1 = jax.tree.map(lambda v: v[0], preds)

@@ -120,17 +120,11 @@ class Config:
     #                                  full-canvas blocking copy (round-4
     #                                  lever; see models/pointpillars
     #                                  RPN._blocked_block0)
-    pfn_segmented: bool = False      # inference: fold the frozen PFN BatchNorm
-    #                                  and compute pillar features as segmented
-    #                                  reductions over the sorted point array
-    #                                  (all-VMEM Pallas windowed max/sum —
-    #                                  kernels/pfn_pallas.py via
-    #                                  ops/pfn_segmented.py) — no (V, P, ·)
-    #                                  buffers exist. Training keeps the dense
-    #                                  PFN (live batch statistics).
-    # (round-3 levers scatter_subtile / fused_adam / matcher_skip were
-    #  measured on-chip as regressions or no-wins — BASELINE.md "Round-3
-    #  final lever A/Bs" — and their surfaces deleted in round 4)
+    # (round-3 levers scatter_subtile / fused_adam / matcher_skip and the
+    #  round-4 segmented-PFN lever — both the XLA formulation and the
+    #  all-VMEM Pallas kernel — were measured on-chip as regressions or
+    #  no-wins (BASELINE.md "Round-3 final lever A/Bs" / "segmented PFN")
+    #  and their surfaces deleted)
 
     # ---- derived (reference: framework/voxel_generator.py:7-15) ----
     detection_range: tuple[float, ...] = ()
@@ -273,7 +267,6 @@ def load_config(path: str | Path | dict, **overrides: Any) -> Config:
         pack_w=bool(get("pack_w", True)),
         fuse_in_stats=bool(get("fuse_in_stats", True)),
         block0_blocked=bool(get("block0_blocked", False)),
-        pfn_segmented=bool(get("pfn_segmented", False)),
     )
     cfg = _with_derived(cfg)
     # The feature map is ALWAYS the voxel grid at half resolution: the shared

@@ -1073,23 +1073,19 @@ class PointPillars(nn.Module):
     @nn.compact
     def __call__(
         self,
-        voxels: jax.Array,       # (B, V, P, C); None with pillar_features
-        num_points: jax.Array,   # (B, V); None with pillar_features
+        voxels: jax.Array,       # (B, V, P, C)
+        num_points: jax.Array,   # (B, V)
         coors: jax.Array,        # (B, V, 3)
         train: bool = False,
         axis_name: str | None = None,  # sync-BN axis (shard_map DP step)
-        pillar_features: jax.Array | None = None,  # (B, V, F) precomputed
-        #   pillar features (the segmented PFN path, ops/pfn_segmented.py)
-        #   — skips the dense PFN module entirely; inference only
     ) -> dict[str, jax.Array]:
         dtype = jnp.dtype(self.cfg.compute_dtype)
-        if pillar_features is None:
-            pillar_features = PFN(
-                voxel_size=tuple(self.cfg.voxel_size),
-                offset=tuple(self.cfg.detection_offset),
-                compute_dtype=dtype,
-                name="pfn",
-            )(voxels, num_points, coors, train, axis_name)
+        pillar_features = PFN(
+            voxel_size=tuple(self.cfg.voxel_size),
+            offset=tuple(self.cfg.detection_offset),
+            compute_dtype=dtype,
+            name="pfn",
+        )(voxels, num_points, coors, train, axis_name)
         grid_xy = (self.cfg.grid_size[0], self.cfg.grid_size[1])
         pack = (
             getattr(self.cfg, "pack_w", True)

@@ -88,24 +88,6 @@ def point_cell_coords(points: jax.Array, spec: VoxelizerSpec):
     return coor, inside
 
 
-def _prefix_max_2level(a: jax.Array, n: int) -> jax.Array:
-    """Prefix-max (cummax) of a 1D int32 array via the same 2-level
-    row/column decomposition as `_suffix_min_2level` (a flat 1D cummax on
-    120k elements lowers to ~17 lane-hostile shifted passes, ~0.7 ms)."""
-    cdim = 512
-    small = jnp.iinfo(a.dtype).min
-    r = (n + cdim - 1) // cdim
-    pad = r * cdim - n
-    a2 = jnp.concatenate([a, jnp.full((pad,), small, a.dtype)]).reshape(r, cdim)
-    in_row = jax.lax.cummax(a2, axis=1)                        # (r, cdim)
-    row_max = in_row[:, -1]                                    # (r,)
-    rows_before = jnp.concatenate(
-        [jnp.full((1,), small, a.dtype), jax.lax.cummax(row_max, axis=0)[:-1]]
-    )                                                          # (r,)
-    out = jnp.maximum(in_row, rows_before[:, None])
-    return out.reshape(-1)[:n]
-
-
 def _suffix_min_2level(a: jax.Array, n: int) -> jax.Array:
     """Suffix-min (reverse cummin) of a 1D int32 array via a 2-level
     row/column decomposition.
@@ -128,10 +110,9 @@ def _suffix_min_2level(a: jax.Array, n: int) -> jax.Array:
 
 
 class FcfsSegments(NamedTuple):
-    """Sorted segment structure shared by the dense voxelizer and the
-    segmented PFN (`ops/pfn_segmented.py`): the carried grouping sort plus
-    per-slot windows `[headpos[s], headpos[s]+counts[s])` into `spoints`,
-    with slots in reference first-come-first-serve order."""
+    """Sorted segment structure behind the dense voxelizer: the carried
+    grouping sort plus per-slot windows `[headpos[s], headpos[s]+counts[s])`
+    into `spoints`, with slots in reference first-come-first-serve order."""
 
     spoints: jax.Array      # (n, c) points sorted by cell id (stable)
     headpos: jax.Array      # (max_voxels,) sorted-array row of each slot's head
@@ -139,19 +120,12 @@ class FcfsSegments(NamedTuple):
     coors: jax.Array        # (max_voxels, 3) int32; -1 on empty slots
     voxel_num: jax.Array    # () int32
     valid_slot: jax.Array   # (max_voxels,) bool
-    row_wlen: jax.Array | None = None  # (n,) int32 remaining window length
-    #                                    per sorted row (row_windows=True only):
-    #                                    wend - i, where wend = head + count of
-    #                                    the row's segment; <= 0 on rows past
-    #                                    the point cap, 0 on invalid rows
 
 
 def fcfs_segments(
     points: jax.Array,
     num_points: jax.Array,
     spec: VoxelizerSpec,
-    *,
-    row_windows: bool = False,
 ) -> FcfsSegments:
     """Group points into per-pillar segments of the sorted array.
 
@@ -227,22 +201,7 @@ def fcfs_segments(
         -1,
     ).astype(jnp.int32)
 
-    row_wlen = None
-    if row_windows:
-        # per-row window end = min(own segment head + P, next head,
-        # valid-point count) — consumed by the segmented-PFN kernel
-        # (kernels/pfn_pallas.py) as the doubling-pass masks
-        segstart = _prefix_max_2level(jnp.where(head, pos, -1), n)
-        nexthead = jnp.concatenate([suffix_min[1:], jnp.full((1,), n, jnp.int32)])
-        wend = jnp.minimum(
-            jnp.minimum(nexthead, total_valid),
-            segstart + spec.max_num_points,
-        )
-        row_wlen = jnp.where(svalid, wend - pos, 0).astype(jnp.int32)
-
-    return FcfsSegments(
-        spoints, headpos, counts, coors, voxel_num, valid_slot, row_wlen
-    )
+    return FcfsSegments(spoints, headpos, counts, coors, voxel_num, valid_slot)
 
 
 def voxelize(

@@ -24,7 +24,6 @@ from det3d_tpu.ops.anchor_mask import (
     compute_anchors_mask,
     compute_anchors_mask_separable,
 )
-from det3d_tpu.ops.pfn_segmented import fold_from_variables, pillar_features_segmented
 from det3d_tpu.ops.voxelize import VoxelizerSpec, voxelize
 from det3d_tpu.postprocess import Detections, make_postprocessor, to_annos
 
@@ -99,31 +98,6 @@ class Detector:
         every convolution ~3x (measured via HLO bisection — estimated conv
         cycles 3.1M vs 6.0M). The NMS stage therefore runs as a second
         dispatch (see infer_jit); stage-boundary tensors are ~3x1000 rows."""
-        if getattr(self.cfg, "pfn_segmented", False) and self._fcfs:
-            # segmented PFN (ops/pfn_segmented.py): pillar features straight
-            # from the sorted point array — the dense (V, P, ·) buffers and
-            # the PFN module never exist in the inference graph
-            fold = fold_from_variables(
-                variables, num_point_features=self.cfg.num_point_features
-            )
-            feats, coors, _, _ = pillar_features_segmented(
-                points,
-                num_points,
-                self.spec,
-                fold,
-                compute_dtype=jnp.dtype(self.cfg.compute_dtype),
-            )
-            anchors_mask = self.anchors_mask(coors)
-            preds = self.model.apply(
-                variables,
-                None,
-                None,
-                coors[None],
-                train=False,
-                pillar_features=feats[None],
-            )
-            preds = jax.tree.map(lambda v: v[0], preds)
-            return self.postprocess.decode_stage(preds, anchors_mask)
         frame, anchors_mask = self.preprocess(points, num_points)
         preds = self.model.apply(
             variables,

@@ -10,14 +10,13 @@ batch-1 inference, split-head wins at 20 cm and loses at 10 cm):
     pack_w          w-parity packed block0 (column parity folded weight-side)
     fuse_in_stats   upsample-branch Gram IN statistics
     block0_blocked  blocked-halo canvas + batch-over-blocks block0
-    pfn_segmented   segmented PFN over the sorted point array
-                    (kills XLA's space-to-batch pad/copy; TPU Pallas only)
   train-path levers (measured on the optimizer step):
     pack_w          (same packing under the training graph)
 
 (Round-3 carried three more levers — scatter_subtile, matcher_skip,
-fused_adam; all were measured on-chip as regressions or no-wins and their
-surfaces deleted — BASELINE.md "Round-3 final lever A/Bs".)
+fused_adam — and round 4 a fourth, pfn_segmented; all were measured
+on-chip as regressions or no-wins and their surfaces deleted —
+BASELINE.md "Round-3 final lever A/Bs" / "segmented PFN".)
 
 All candidates are SEMANTICS-PRESERVING — each lever has an elementwise
 equality or golden test in tests/ — so tuning is purely a wall-clock
@@ -58,7 +57,6 @@ LEVERS = (
     ("pack_w", (True, False), ("infer", "train"), False),
     ("fuse_in_stats", (True, False), ("infer",), False),
     ("block0_blocked", (False, True), ("infer",), True),
-    ("pfn_segmented", (False, True), ("infer",), False),
 )
 
 

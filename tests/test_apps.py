@@ -406,17 +406,13 @@ class TestBatchedInfer:
         """--breakdown manually splits pre/net/post: its post stage must
         track the live preds contract (the round-3 split-head per-parity
         tuples broke the old dict-of-arrays walk — caught by a CLI drive,
-        not tests; pinned here). Parametrized over the segmented-PFN flag:
-        the breakdown's stage split follows the active pillar path."""
+        not tests; pinned here)."""
         from det3d_tpu.apps.infer_app import infer
 
-        for seg in (False, True):
-            cfg = small_cfg(max_points=2048, max_voxels=256).replace(
-                pfn_segmented=seg
-            )
-            r = infer(cfg, synthetic=True, num_frames=2,
-                      range_thresholds=(80.0,), seed=3, breakdown=True)
-            assert len(r["dt_annos"]) == 2
+        cfg = small_cfg(max_points=2048, max_voxels=256)
+        r = infer(cfg, synthetic=True, num_frames=2,
+                  range_thresholds=(80.0,), seed=3, breakdown=True)
+        assert len(r["dt_annos"]) == 2
 
     def test_batched_eval_matches_per_frame(self):
         """--batch N eval must produce the same detection sets as per-frame

@@ -205,41 +205,6 @@ def main() -> None:
         np.testing.assert_array_equal(np.asarray(s2b_fence(x)), np.asarray(x))
     print("s2b_fence / fence_any (+padded chunks): OK")
 
-    # --- segmented-PFN window tables at production shape ----------------------
-    from det3d_tpu.kernels.pfn_pallas import pfn_window_tables
-    from det3d_tpu.ops.voxelize import VoxelizerSpec, fcfs_segments
-
-    npts, c, f = 120_000, 4, 64
-    spec = VoxelizerSpec(
-        voxel_size=(0.2, 0.2, 11.0), offset=(-80.24, -80.24, -2.5),
-        grid_size=(800, 800, 1), max_voxels=16000, max_num_points=15,
-    )
-    pts = np.zeros((npts, c), np.float32)
-    nlive = 100_000
-    pts[:nlive, 0] = r.uniform(-80, 80, nlive)
-    pts[:nlive, 1] = r.uniform(-80, 80, nlive)
-    pts[:nlive, 2] = r.uniform(-2, 8, nlive)
-    pts[:nlive, 3] = r.uniform(0, 1, nlive)
-    seg = jax.jit(
-        lambda p, n: fcfs_segments(p, n, spec, row_windows=True)
-    )(jnp.asarray(pts), jnp.int32(nlive))
-    wp = np.asarray(r.randn(c, f), np.float32)
-    m_tab, s_tab = pfn_window_tables(
-        seg.spoints, seg.row_wlen, jnp.asarray(wp), spec.max_num_points,
-        out_dtype=jnp.float32,
-    )
-    jax.block_until_ready((m_tab, s_tab))
-    # numpy reference at every valid head row (windows cross 2048-row blocks)
-    sp = np.asarray(seg.spoints)
-    hp = np.asarray(seg.headpos)[np.asarray(seg.valid_slot)]
-    cn = np.asarray(seg.counts)[np.asarray(seg.valid_slot)]
-    u = sp @ wp
-    m_np = np.stack([u[a : a + k].max(0) for a, k in zip(hp, cn)])
-    s_np = np.stack([sp[a : a + k, :3].sum(0) for a, k in zip(hp, cn)])
-    np.testing.assert_allclose(np.asarray(m_tab)[hp], m_np, rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(s_tab)[hp, :3], s_np, rtol=1e-4, atol=1e-4)
-    print("pfn_window_tables: OK  heads=", hp.size)
-
     print("ALL KERNELS COMPILE AND RUN ON", jax.default_backend())
 
 
