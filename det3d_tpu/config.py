@@ -120,6 +120,13 @@ class Config:
     #                                  full-canvas blocking copy (round-4
     #                                  lever; see models/pointpillars
     #                                  RPN._blocked_block0)
+    split_head: bool = True          # inference, packed shared-head only:
+    #                                  per-column-parity neck emission + two
+    #                                  half-width head dots (RPN.split_out) —
+    #                                  the (B,H,W/2,640)→(B,H,W,320) unpack
+    #                                  relayout never materializes. Measured
+    #                                  a win at 20 cm (6.23→5.96 round 3);
+    #                                  geometry-dependent, hence a lever.
     # (round-3 levers scatter_subtile / fused_adam / matcher_skip and the
     #  round-4 segmented-PFN lever — both the XLA formulation and the
     #  all-VMEM Pallas kernel — were measured on-chip as regressions or
@@ -267,6 +274,7 @@ def load_config(path: str | Path | dict, **overrides: Any) -> Config:
         pack_w=bool(get("pack_w", True)),
         fuse_in_stats=bool(get("fuse_in_stats", True)),
         block0_blocked=bool(get("block0_blocked", False)),
+        split_head=bool(get("split_head", True)),
     )
     cfg = _with_derived(cfg)
     # The feature map is ALWAYS the voxel grid at half resolution: the shared

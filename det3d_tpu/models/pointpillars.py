@@ -1150,10 +1150,12 @@ class PointPillars(nn.Module):
         # dots + the backward of the output interleave measured +1.9 ms/step
         # (b=2, 50.6 vs 48.7) while the merged concat path's bwd is a plain
         # split — the win only exists where the neck map has no consumers
-        # besides the head (20 cm inference 6.23 -> 5.96 ms device)
+        # besides the head (20 cm inference 6.23 -> 5.96 ms device).
+        # Config.split_head gates it per geometry (tune lever).
         rpn_features = RPN(
             compute_dtype=dtype, pack_w=pack, fuse_in_stats=fuse_stats,
-            split_out=pack and shared_head and not train,
+            split_out=pack and shared_head and not train
+            and getattr(self.cfg, "split_head", True),
             block0_blocked=blocked, name="rpn",
         )(canvas)
         if not shared_head:

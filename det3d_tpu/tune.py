@@ -10,6 +10,7 @@ batch-1 inference, split-head wins at 20 cm and loses at 10 cm):
     pack_w          w-parity packed block0 (column parity folded weight-side)
     fuse_in_stats   upsample-branch Gram IN statistics
     block0_blocked  blocked-halo canvas + batch-over-blocks block0
+    split_head      per-parity neck emission + two half-width head dots
   train-path levers (measured on the optimizer step):
     pack_w          (same packing under the training graph)
 
@@ -57,6 +58,7 @@ LEVERS = (
     ("pack_w", (True, False), ("infer", "train"), False),
     ("fuse_in_stats", (True, False), ("infer",), False),
     ("block0_blocked", (False, True), ("infer",), True),
+    ("split_head", (True, False), ("infer",), False),
 )
 
 

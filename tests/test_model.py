@@ -343,6 +343,32 @@ class TestPackedBlock0:
                 err_msg=k,
             )
 
+    def test_split_head_lever_preds_identical(self):
+        """Config.split_head=False must keep the packed inference preds
+        bit-identical (f32): the merged parity-outer concat and the split
+        per-parity two-dot head are the same function, differently
+        associated only in layout, not arithmetic."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from det3d_tpu.pipeline import Detector
+        from helpers import small_cfg, random_cloud
+
+        det_on = Detector(small_cfg().replace(pack_w=True, split_head=True))
+        det_off = Detector(small_cfg().replace(pack_w=True, split_head=False))
+        v = det_on.init_variables(jax.random.PRNGKey(2))
+        pts, n = det_on.pad_points(random_cloud(260, seed=9))
+        frame, _ = det_on.preprocess(jnp.asarray(pts), jnp.asarray(n))
+        args = (frame.voxels[None], frame.num_points_per_voxel[None], frame.coors[None])
+        out_on = det_on.model.apply(v, *args, train=False)
+        out_off = det_off.model.apply(v, *args, train=False)
+        for k in out_off:
+            np.testing.assert_array_equal(
+                np.asarray(merge_parity(out_on[k])), np.asarray(out_off[k]),
+                err_msg=k,
+            )
+
     def test_packed_grad_matches_plain(self):
         """Training must see the same function: grads through the packed
         RPN match the plain RPN's for the same parameters."""
