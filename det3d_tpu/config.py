@@ -237,6 +237,20 @@ def load_config(path: str | Path | dict, **overrides: Any) -> Config:
         raw = _loads_tolerant(Path(path).read_text())
     raw.update(overrides)
 
+    # Levers that existed in earlier rounds and were deleted after losing
+    # their on-chip A/Bs (BASELINE.md "Round-3 final lever A/Bs" /
+    # "segmented PFN"). A saved tuned config carrying one would otherwise be
+    # silently reinterpreted — warn so the behavior change is visible.
+    removed = {"scatter_subtile", "matcher_skip", "fused_adam", "pfn_segmented"}
+    for key in removed & raw.keys():
+        import warnings
+
+        warnings.warn(
+            f"config key '{key}' is a removed perf lever (rejected on-chip, "
+            "see BASELINE.md); it is ignored and the default path runs",
+            stacklevel=2,
+        )
+
     def get(key, default):
         return raw.get(key, default)
 

