@@ -25,6 +25,15 @@ from det3d_tpu.pipeline import Detector
 from det3d_tpu.postprocess import to_annos
 
 
+class ServeStats(list):
+    """Latency list (seconds, what callers index/len) with the queue's
+    submitted/dropped counters attached — the serving-envelope evidence
+    (max drop-free Hz) needs drops, not just latencies."""
+
+    submitted: int = 0
+    dropped: int = 0
+
+
 class PointCloudServer:
     """Bounded-queue streaming inference (reference ros_node.py:52-83)."""
 
@@ -47,6 +56,8 @@ class PointCloudServer:
         self.variables = variables
         self.queue: queue.Queue = queue.Queue(maxsize=queue_size)
         self.latencies: list[float] = []
+        self.submitted = 0   # frames the sensor produced
+        self.dropped = 0     # frames displaced from the full queue (stale)
         self._stop = threading.Event()
 
     def submit(self, points: np.ndarray, stamp: float | None = None) -> bool:
@@ -54,18 +65,21 @@ class PointCloudServer:
         (the reference drops the new frame, ros_node.py:44-50; dropping the
         stale one is strictly better for a real-time consumer)."""
         item = (points, stamp if stamp is not None else time.perf_counter())
+        self.submitted += 1
         try:
             self.queue.put_nowait(item)
             return True
         except queue.Full:
             try:
                 self.queue.get_nowait()
+                self.dropped += 1
             except queue.Empty:
                 pass
             try:
                 self.queue.put_nowait(item)
                 return True
             except queue.Full:
+                self.dropped += 1
                 return False
 
     def stop(self) -> None:
@@ -159,7 +173,13 @@ def _run_server(cfg: Config, producer_body, *, checkpoint, spatial) -> list[floa
             f"latency over {len(lat)} frames: p50 {np.percentile(lat, 50):.1f} ms  "
             f"p95 {np.percentile(lat, 95):.1f} ms  max {lat.max():.1f} ms"
         )
-    return server.latencies
+    print(
+        f"frames: submitted {server.submitted}, served {len(server.latencies)}, "
+        f"dropped {server.dropped} (queue displaces stale frames when full)"
+    )
+    out = ServeStats(server.latencies)
+    out.submitted, out.dropped = server.submitted, server.dropped
+    return out
 
 
 def serve_synthetic(
