@@ -29,8 +29,15 @@ class ExportedDetector:
 
     def __init__(self, artifact_dir: str | Path):
         self.dir = Path(artifact_dir)
-        self.variables = serialization.msgpack_restore(
-            (self.dir / "variables.msgpack").read_bytes()
+        # device_put ONCE: msgpack_restore yields host numpy leaves, and jit
+        # re-uploads host arguments on EVERY call — measured 424 ms/frame vs
+        # 6.0 ms with device-resident weights on the round-5 TPU drive
+        # (tools/deploy_drive.py). The reference's engine wrappers hold
+        # weights device-side inside the TRT engine for the same reason.
+        self.variables = jax.device_put(
+            serialization.msgpack_restore(
+                (self.dir / "variables.msgpack").read_bytes()
+            )
         )
         raw = json.loads((self.dir / "config.json").read_text())
         raw.pop("class_specs", None)
