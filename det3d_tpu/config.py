@@ -120,6 +120,16 @@ class Config:
     #                                  full-canvas blocking copy (round-4
     #                                  lever; see models/pointpillars
     #                                  RPN._blocked_block0)
+    block0_blocked_train: bool = False  # training: same blocked-halo block0
+    #                                  under the train step. At batch ≥ 2
+    #                                  space-to-batch never fires, so dense
+    #                                  block0 convs run the slow batch-2
+    #                                  emitters (~60 TF/s, tools/train_mfu);
+    #                                  blocked runs them batch-(B·nblk).
+    #                                  Separate lever from block0_blocked:
+    #                                  the inference decision (s2b-copy
+    #                                  removal) and the training one (conv
+    #                                  emitter rate) have different physics.
     split_head: bool = True          # inference, packed shared-head only:
     #                                  per-column-parity neck emission + two
     #                                  half-width head dots (RPN.split_out) —
@@ -288,6 +298,7 @@ def load_config(path: str | Path | dict, **overrides: Any) -> Config:
         pack_w=bool(get("pack_w", True)),
         fuse_in_stats=bool(get("fuse_in_stats", True)),
         block0_blocked=bool(get("block0_blocked", False)),
+        block0_blocked_train=bool(get("block0_blocked_train", False)),
         split_head=bool(get("split_head", True)),
     )
     cfg = _with_derived(cfg)

@@ -379,9 +379,7 @@ def _canvas_s2d_blocked_kernel(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("grid_xy", "nblk", "halo", "interpret")
-)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def scatter_to_bev_s2d_blocked(
     pillar_features: jax.Array,  # (B, V, C)
     coors: jax.Array,            # (B, V, 3) int32, -1 rows dropped
@@ -392,15 +390,85 @@ def scatter_to_bev_s2d_blocked(
 ) -> jax.Array:                  # (B, nblk, R + ht + hb, ny/2, 4C)
     """S2d canvas emitted directly as `nblk` H-blocks with `halo` =
     (top, bottom) duplicated neighbor rows per block (zeros beyond the
-    canvas edge — exactly the conv zero-padding). Inference-only (no VJP):
-    feeds models/pointpillars._blocked_block0, which runs the entire block0
+    canvas edge — exactly the conv zero-padding). Feeds
+    models/pointpillars._blocked_block0, which runs the entire block0
     conv stack batch-over-blocks with VALID row convs, so XLA's
     space-to-batch pad + full-canvas blocking copy of the 4C canvas
     (~2.0 ms at the 10 cm geometry) never exists.
 
+    Differentiable (Config.block0_blocked_train): a pillar's value is
+    duplicated into a neighbor block's halo when its row falls within
+    `halo` of a block boundary, so the transpose is the per-pillar gather
+    SUMMED over every position the pillar was written to (_blocked_bwd).
+
     Round-3 context (BASELINE.md): emitting blocked for the ENTRY conv only
     lost — XLA re-blocked at the unblock reshape for the residual convs.
     This variant exists to carry the blocked form through ALL of block0."""
+    return _scatter_s2d_blocked_impl(
+        pillar_features, coors, grid_xy, nblk, halo, interpret
+    )
+
+
+def _scatter_s2d_blocked_fwd(pillar_features, coors, grid_xy, nblk, halo, interpret):
+    return (
+        _scatter_s2d_blocked_impl(
+            pillar_features, coors, grid_xy, nblk, halo, interpret
+        ),
+        coors,
+    )
+
+
+def _scatter_s2d_blocked_bwd(grid_xy, nblk, halo, interpret, coors, g):
+    # Per-pillar gather off the (B, nblk, rtot, ny2, 4, C) cotangent, summed
+    # over halo duplicates: pillar row r lives in block j0 = r // rb at local
+    # row r − j0·rb + ht, AND in block j0+1's top halo when r ≥ (j0+1)·rb − ht,
+    # AND in block j0−1's bottom halo when r < j0·rb + hb (rb > ht + hb, so
+    # at most one neighbor on each side). Same 4D-gather discipline as
+    # _scatter_s2d_bwd — only the minor (4C)→(4,C) split, no flat reshape.
+    nx, ny = grid_xy
+    b, v, _ = coors.shape
+    ht, hb = halo
+    c = g.shape[-1] // 4
+    nx2, ny2 = nx // 2, ny // 2
+    rb = nx2 // nblk
+    rtot = rb + ht + hb
+    g6 = g.reshape(b, nblk, rtot, ny2, 4, c)
+    valid = coors[..., 0] >= 0
+    r = jnp.where(valid, coors[..., 0] // 2, 0)
+    y2 = jnp.where(valid, coors[..., 1] // 2, 0)
+    phase = jnp.where(valid, (coors[..., 0] % 2) * 2 + coors[..., 1] % 2, 0)
+    bi = jnp.arange(b, dtype=jnp.int32)[:, None]
+    j0 = r // rb
+    off = r - j0 * rb
+    d = g6[bi, j0, off + ht, y2, phase]
+    in_above = (off < hb) & (j0 > 0)          # neighbor-above's bottom halo
+    ja = jnp.maximum(j0 - 1, 0)
+    d = d + jnp.where(
+        in_above[..., None],
+        g6[bi, ja, jnp.where(in_above, off + rb + ht, 0), y2, phase],
+        0.0,
+    )
+    in_below = (off >= rb - ht) & (j0 < nblk - 1)  # neighbor-below's top halo
+    jb = jnp.minimum(j0 + 1, nblk - 1)
+    d = d + jnp.where(
+        in_below[..., None],
+        g6[bi, jb, jnp.where(in_below, off - rb + ht, 0), y2, phase],
+        0.0,
+    )
+    return jnp.where(valid[..., None], d, 0.0), None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid_xy", "nblk", "halo", "interpret")
+)
+def _scatter_s2d_blocked_impl(
+    pillar_features: jax.Array,
+    coors: jax.Array,
+    grid_xy: tuple[int, int],
+    nblk: int,
+    halo: tuple[int, int],
+    interpret: bool = False,
+) -> jax.Array:
     nx, ny = grid_xy
     assert nx % 2 == 0 and ny % 2 == 0
     b, v, c = pillar_features.shape
@@ -472,3 +540,6 @@ def scatter_to_bev_s2d_blocked(
         interpret=interpret,
     )(starts, rows_s[:, None, :], phase_s[:, None, :], feats_s)
     return canvas[:, :, :nrows_blk].reshape(b, nblk, rtot, ny2, 4 * c)
+
+
+scatter_to_bev_s2d_blocked.defvjp(_scatter_s2d_blocked_fwd, _scatter_s2d_blocked_bwd)

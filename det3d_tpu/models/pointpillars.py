@@ -698,8 +698,9 @@ def _instance_norm_blocked(
     zero-pads there, and an IN'd zero is -mean·inv ≠ 0 — without this the
     next conv reads garbage at the canvas edges and its IN's statistics
     drift map-wide (caught by the isolated block0 equality probe).
-    Inference-only (no custom VJP; the blocked path never runs under
-    grad)."""
+    Differentiable as plain jnp (the margin re-zeroing's `.at[].set(0)`
+    correctly zeros those entries' cotangents — the forward really does
+    not depend on them)."""
     xs = x5[:, :, top : top + valid_rows].astype(jnp.float32)
     s1 = jnp.sum(xs, axis=(1, 2, 3))                       # (B, 2C)
     s2 = jnp.sum(xs * xs, axis=(1, 2, 3))
@@ -768,7 +769,9 @@ class RPN(nn.Module):
     #                       (B, nblk, R, ny2, 4C): run ALL of block0 batch-
     #                       over-blocks with VALID-row convs so XLA's
     #                       space-to-batch pad + full-canvas blocking copy
-    #                       never exists (Config.block0_blocked, inference)
+    #                       never exists (Config.block0_blocked for
+    #                       inference, Config.block0_blocked_train for the
+    #                       train step)
 
     @property
     def out_channels(self) -> int:
@@ -1096,16 +1099,22 @@ class PointPillars(nn.Module):
         # the XLA 16k-row scatter lowers to a serialized per-index update
         # (~1.5 ms/frame); the Pallas builders stream the canvas as one-hot
         # MXU matmuls (kernels/scatter_pallas.py)
-        # blocked block0 (Config.block0_blocked, inference): the scatter
-        # emits halo'd H-blocks and RPN runs all of block0 batch-over-blocks
-        # — XLA's space-to-batch pad + blocking copy of the 4C canvas never
-        # exists. Excluded under spatial sharding (the canvas constraint
-        # needs the plain dense layout).
+        # blocked block0 (Config.block0_blocked / block0_blocked_train): the
+        # scatter emits halo'd H-blocks and RPN runs all of block0
+        # batch-over-blocks. Inference motive: XLA's space-to-batch pad +
+        # blocking copy of the 4C canvas never exists. Training motive: at
+        # batch ≥ 2 s2b never fires and the dense block0 convs run the slow
+        # batch-2 emitters — blocked runs them batch-(B·nblk). Excluded
+        # under spatial sharding (the canvas constraint needs the plain
+        # dense layout).
         nblk, halo = block0_blocking(grid_xy)
+        blocked_flag = (
+            getattr(self.cfg, "block0_blocked_train", False)
+            if train
+            else getattr(self.cfg, "block0_blocked", False)
+        )
         blocked = (
-            pack and not train and nblk > 1
-            and getattr(self.cfg, "block0_blocked", False)
-            and self.canvas_sharding is None
+            pack and nblk > 1 and blocked_flag and self.canvas_sharding is None
         )
         if blocked:
             from det3d_tpu.kernels.scatter_pallas import scatter_to_bev_s2d_blocked

@@ -15,6 +15,8 @@ loss, 23.22→23.56 ms, predates the spatial-preds contract, and the current
     split_head      per-parity neck emission + two half-width head dots
   train-path levers (measured on the optimizer step):
     pack_w          (same packing under the training graph)
+    block0_blocked_train  blocked-halo block0 under the train step (batch-
+                    (B·nblk) conv emitters instead of the slow batch-B ones)
 
 (Round-3 carried three more levers — scatter_subtile, matcher_skip,
 fused_adam — and round 4 a fourth, pfn_segmented; all were measured
@@ -60,6 +62,7 @@ LEVERS = (
     ("pack_w", (True, False), ("infer", "train"), False),
     ("fuse_in_stats", (True, False), ("infer",), False),
     ("block0_blocked", (False, True), ("infer",), True),
+    ("block0_blocked_train", (False, True), ("train",), True),
     ("split_head", (True, False), ("infer",), False),
 )
 

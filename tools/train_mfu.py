@@ -134,6 +134,13 @@ def _line_flops(line: str, shape_of: dict):
         rhs_dims = ops[1]
         o_idx = dl.group(2).index("o")
         flops = 2 * _prod(out_dims) * _prod(rhs_dims) // rhs_dims[o_idx]
+        # effective-tap correction: XLA rewrites some dots/grads as
+        # degenerate convolutions whose window mostly covers padding (e.g.
+        # the head dot's dgrad: window 2x400, pad 1_1x399_399 — 800x the
+        # useful MACs if padded taps are counted). Scale by the fraction of
+        # window taps that land on real (non-pad, non-dilation-zero) input.
+        frac = _valid_tap_fraction(line, ops[0], out_dims, dl)
+        flops = int(flops * frac)
         cls = _classify_conv(op_name, out_dims, line)
         return flops, (site, cls, f"conv out{out_dims} rhs{rhs_dims}")
 
@@ -147,6 +154,56 @@ def _line_flops(line: str, shape_of: dict):
         cls = "bwd" if "transpose" in op_name else "fwd"
         return flops, (site, f"dot-{cls}", f"dot out{out_dims} K={k}")
     return 0, None
+
+
+def _valid_tap_fraction(line: str, lhs_dims, out_dims, dl) -> float:
+    """Fraction of (output, window-tap) pairs whose tap reads a real input
+    element — i.e. not zero-padding and not an lhs-dilation hole. 1.0 for
+    ordinary convs (pad ≪ window); ~1/800 for the padded-window forms XLA
+    rewrites dot grads into."""
+    wm = re.search(r"window=\{([^}]*)\}", line)
+    if not wm or lhs_dims is None:
+        return 1.0
+    w = wm.group(1)
+
+    def vec(key, default, n):
+        m = re.search(key + r"=([\dx_\-]+)", w)
+        if not m:
+            return [default] * n
+        return [int(v) for v in m.group(1).split("x")]
+
+    sm = re.search(r"size=([\dx]+)", w)
+    if not sm:
+        return 1.0
+    sizes = [int(v) for v in sm.group(1).split("x")]
+    nsp = len(sizes)
+    strides = vec("stride", 1, nsp)
+    rhs_dil = vec("rhs_dilate", 1, nsp)
+    lhs_dil = vec("lhs_dilate", 1, nsp)
+    pm = re.search(r"pad=([\d_x\-]+)", w)
+    pads = (
+        [tuple(int(v) for v in p.split("_")) for p in pm.group(1).split("x")]
+        if pm
+        else [(0, 0)] * nsp
+    )
+    # spatial input sizes, in dim_labels order ('0','1',...)
+    lhs_spec = dl.group(1)
+    sp_in = [lhs_dims[lhs_spec.index(str(i))] for i in range(nsp)]
+    out_spec = dl.group(3)
+    sp_out = [out_dims[out_spec.index(str(i))] for i in range(nsp)]
+    import numpy as _np
+
+    frac = 1.0
+    for n, k, s, rd, ld, (lo, _hi), no in zip(
+        sp_in, sizes, strides, rhs_dil, lhs_dil, pads, sp_out
+    ):
+        o = _np.arange(no)[:, None]
+        t = _np.arange(k)[None, :]
+        p = o * s + t * rd - lo
+        span = (n - 1) * ld + 1
+        valid = (p >= 0) & (p < span) & (p % ld == 0)
+        frac *= valid.mean()
+    return frac
 
 
 def _classify_conv(op_name: str, out_dims, line: str) -> str:
