@@ -61,6 +61,39 @@ class TestShardedTrain:
         for a, b in zip(jax.tree.leaves(new1.params), jax.tree.leaves(new8.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
+    def test_sharded_step_blocked_train_matches_single_device(self, mesh):
+        """Config.block0_blocked_train under shard_map DP: inside the
+        per-device body the canvas is unsharded, so the blocked scatter +
+        its VJP run per device — the all-reduced grads must still equal the
+        full-batch single-device step. small_cfg's 16² grid disables
+        blocking, so this uses a 32² grid (nblk=2)."""
+        from det3d_tpu.config import load_config
+
+        cfg = load_config({
+            "detection_range": [-16.0, -16.0, -2.5, 16.0, 16.0, 8.5],
+            "center_limit": [-16.0, -16.0, -10.0, 16.0, 16.0, 10.0],
+            "voxel_size": [1.0, 1.0, 11.0],
+            "max_voxels": 256, "max_num_points": 5, "batch_size": 8,
+            "max_points": 4096, "max_gt_boxes": 8, "compute_dtype": "float32",
+            "block0_blocked_train": True,
+        })
+        trainer = Trainer(cfg)
+        batch = host_batch(cfg, _samples(cfg, 8))
+
+        state1 = trainer.init_state(jax.random.PRNGKey(0))
+        new1, loss1, _ = trainer.train_step_jit(state1, jax.device_put(batch))
+
+        state8 = trainer.init_state(jax.random.PRNGKey(0))
+        state8 = jax.device_put(state8, replicated(mesh))
+        step8 = make_sharded_train_step(trainer, mesh)
+        new8, loss8, _ = step8(state8, shard_batch(mesh, batch))
+
+        np.testing.assert_allclose(
+            float(loss1["loss"]), float(loss8["loss"]), rtol=1e-5
+        )
+        for a, b in zip(jax.tree.leaves(new1.params), jax.tree.leaves(new8.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
     def test_sharded_steps_chain(self, mesh):
         """Multiple consecutive sharded steps keep loss finite and params
         synchronized (output sharding respected across the donate cycle)."""
