@@ -126,6 +126,9 @@ class Config:
     #                                  block0 convs run the slow batch-2
     #                                  emitters (~60 TF/s, tools/train_mfu);
     #                                  blocked runs them batch-(B·nblk).
+    #                                  Engages only at per-device batch ≤ 2
+    #                                  (the measured win region; b=4/b=8
+    #                                  regress — BASELINE round-5 table).
     #                                  Separate lever from block0_blocked:
     #                                  the inference decision (s2b-copy
     #                                  removal) and the training one (conv

@@ -1108,8 +1108,14 @@ class PointPillars(nn.Module):
         # under spatial sharding (the canvas constraint needs the plain
         # dense layout).
         nblk, halo = block0_blocking(grid_xy)
+        # Training engages blocked only at per-device batch ≤ 2 — the
+        # measured win region (20 cm b=2 49.06→45.03, 10 cm b=2 196→181;
+        # b=4 78.8→82.1 and b=8 145.7→163.7 REGRESS: at larger batch the
+        # dense emitters are already efficient and the +28% halo MACs
+        # dominate — BASELINE.md round-5 train-lever table). Static at
+        # trace time, so one config serves any batch size safely.
         blocked_flag = (
-            getattr(self.cfg, "block0_blocked_train", False)
+            getattr(self.cfg, "block0_blocked_train", False) and voxels.shape[0] <= 2
             if train
             else getattr(self.cfg, "block0_blocked", False)
         )
