@@ -133,6 +133,21 @@ class Config:
     #                                  the inference decision (s2b-copy
     #                                  removal) and the training one (conv
     #                                  emitter rate) have different physics.
+    late_blocked_train: bool = False  # training: blocks 1-2 batch-over-
+    #                                  blocks under the train step. The same
+    #                                  physics as block0_blocked_train one
+    #                                  level down: at per-device batch 2 the
+    #                                  dense block1/2 conv emitters run at
+    #                                  ~60-70 TF/s (tools/train_mfu.py round-5
+    #                                  table) while identical shapes batched
+    #                                  over row-blocks reach 150+. Each block
+    #                                  re-blocks its input with fresh 5-row
+    #                                  halos (static slice+pad+stack; the
+    #                                  autodiff transpose sums halo-duplicate
+    #                                  cotangents) and runs VALID-row convs at
+    #                                  batch B*nblk. Engages only at
+    #                                  per-device batch <= 2, like the block0
+    #                                  lever.
     split_head: bool = True          # inference, packed shared-head only:
     #                                  per-column-parity neck emission + two
     #                                  half-width head dots (RPN.split_out) —
@@ -302,6 +317,7 @@ def load_config(path: str | Path | dict, **overrides: Any) -> Config:
         fuse_in_stats=bool(get("fuse_in_stats", True)),
         block0_blocked=bool(get("block0_blocked", False)),
         block0_blocked_train=bool(get("block0_blocked_train", False)),
+        late_blocked_train=bool(get("late_blocked_train", False)),
         split_head=bool(get("split_head", True)),
     )
     cfg = _with_derived(cfg)

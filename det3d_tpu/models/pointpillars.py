@@ -600,6 +600,7 @@ class PackedConv(nn.Module):
             # taps; same params, same math on the valid region)
             "entry_valid": (_pack_entry_kernel, (1, 2), ((0, 0), (1, 0))),
             "res_valid": (_pack_res_kernel, (1, 1), ((0, 0), (1, 1))),
+            "down_valid": (_pack_down_kernel, (2, 1), ((0, 0), (1, 0))),
         }[self.kind]
         return jax.lax.conv_general_dilated(
             x.astype(self.compute_dtype),
@@ -685,7 +686,7 @@ def block0_blocking(grid_xy: tuple[int, int]) -> tuple[int, tuple[int, int]]:
 
 
 def _instance_norm_blocked(
-    x5: jax.Array, top: int, bot: int, valid_rows: int
+    x5: jax.Array, top: int, bot: int, valid_rows: int, packed: bool = True
 ) -> jax.Array:
     """InstanceNorm over a blocked-halo packed map (B, nblk, R, W2, 2C):
     statistics from the VALID rows [top, top+valid_rows) of every block —
@@ -705,7 +706,7 @@ def _instance_norm_blocked(
     s1 = jnp.sum(xs, axis=(1, 2, 3))                       # (B, 2C)
     s2 = jnp.sum(xs * xs, axis=(1, 2, 3))
     n = x5.shape[1] * valid_rows * x5.shape[3]             # = H · W2 unblocked
-    mean, inv, _ = _moments_from_sums(s1, s2, n, packed=True)
+    mean, inv, _ = _moments_from_sums(s1, s2, n, packed=packed)
     mean_c = mean[:, None, None, None].astype(x5.dtype)
     inv_c = inv[:, None, None, None].astype(x5.dtype)
     y = (x5 - mean_c) * inv_c
@@ -727,6 +728,7 @@ class _BlockedPreActResidual(nn.Module):
     valid_rows: int
     top_in: int  # top margin of the input
     compute_dtype: Any = jnp.bfloat16
+    packed: bool = True  # w-parity packed map (block0) vs standard (blocks 1-2)
 
     @nn.compact
     def __call__(self, x5: jax.Array) -> jax.Array:
@@ -734,16 +736,57 @@ class _BlockedPreActResidual(nn.Module):
         h = x5
         for i in range(self.num_convs):
             m = self.top_in - i
-            h = _instance_norm_blocked(h, m, m, self.valid_rows)
+            h = _instance_norm_blocked(h, m, m, self.valid_rows, self.packed)
             h = nn.relu(h)
             r, w2, c = h.shape[2], h.shape[3], h.shape[4]
-            h = PackedConv(
-                self.dim, self.dim, "res_valid", self.compute_dtype,
-                name=f"conv{i}",
-            )(h.reshape(bsz * nblk, r, w2, c))
+            if self.packed:
+                h = PackedConv(
+                    self.dim, self.dim, "res_valid", self.compute_dtype,
+                    name=f"conv{i}",
+                )(h.reshape(bsz * nblk, r, w2, c))
+            else:
+                h = nn.Conv(
+                    self.dim, (3, 3), padding=((0, 0), (1, 1)), use_bias=False,
+                    dtype=self.compute_dtype, name=f"conv{i}",
+                )(h.reshape(bsz * nblk, r, w2, c))
             h = h.reshape(bsz, nblk, r - 2, w2, -1)
         k = self.num_convs
         return x5[:, :, k:-k] + h
+
+
+def late_blocking(rows_out: int) -> int:
+    """nblk for a late-blocked block (1 → dense): largest of 8/4/2 dividing
+    the block's OUTPUT rows with at least 32 rows per block — below that the
+    10 duplicated halo rows per block (+20% MACs at 50 rows) stop paying for
+    the batch-(B·nblk) emitter rate (same economics as block0_blocking)."""
+    return next((n for n in (8, 4, 2) if rows_out % n == 0 and rows_out // n >= 32), 1)
+
+
+def _reblock_rows(x: jax.Array, nblk: int, rb2: int, m: int) -> jax.Array:
+    """(B, H, W, C) → (B, nblk, Rin, W, C) halo'd input blocks for a
+    stride-2-rows entry conv with 1 top pad row: block i's output rows are
+    [i·rb2 − m, (i+1)·rb2 + m) at the downsampled resolution, and output
+    row j reads input rows 2j−1 … 2j+1, so the block's input span is
+    [2·(i·rb2 − m) − 1, 2·((i+1)·rb2 + m − 1) + 2). Out-of-map rows are
+    ZERO — exactly the dense conv's zero padding (the blocked INs re-zero
+    the out-of-map margin rows after each normalize, so every later conv
+    reads zeros there too). Static slice + pad + stack: the autodiff
+    transpose is pad-to-position + sum, which accumulates halo-duplicate
+    cotangents into their source rows for free — no gather/scatter."""
+    bsz, h, w, c = x.shape
+    rin = 2 * (rb2 + 2 * m) + 1
+    blocks = []
+    for i in range(nblk):
+        lo = 2 * (i * rb2 - m) - 1
+        hi = lo + rin
+        lo_c, hi_c = max(lo, 0), min(hi, h)
+        blocks.append(
+            jnp.pad(
+                x[:, lo_c:hi_c],
+                ((0, 0), (lo_c - lo, hi - hi_c), (0, 0), (0, 0)),
+            )
+        )
+    return jnp.stack(blocks, axis=1)
 
 
 class RPN(nn.Module):
@@ -772,6 +815,13 @@ class RPN(nn.Module):
     #                       never exists (Config.block0_blocked for
     #                       inference, Config.block0_blocked_train for the
     #                       train step)
+    late_blocked: bool = False  # training: blocks 1-2 batch-over-blocks too
+    #                       (Config.late_blocked_train): each block re-blocks
+    #                       its input with fresh 5-row halos (_reblock_rows)
+    #                       and runs entry + residual convs VALID-row at
+    #                       batch B·nblk — the b=2 dense emitters on these
+    #                       convs run at ~60-70 TF/s vs 150+ blocked
+    #                       (tools/train_mfu.py, BASELINE.md round-5)
 
     @property
     def out_channels(self) -> int:
@@ -803,6 +853,43 @@ class RPN(nn.Module):
         )(x5)                                                # margins (0, 0)
         return x5.reshape(bsz, nblk * rb, x5.shape[3], x5.shape[4])
 
+    def _blocked_late(self, x: jax.Array, b: int, width: int, nblk: int) -> jax.Array:
+        """Block b ∈ {1, 2} batch-over-blocks (late_blocked): re-block the
+        previous block's output with fresh 5-row halos, run the stride-2
+        entry conv and the three residual units (depth 4 → convs [2, 2, 1])
+        as VALID-row convs at batch B·nblk, margins retiring one row per
+        conv exactly as `_blocked_block0` does; the unblock is a pure
+        reshape. Same parameter paths as the dense path — checkpoints are
+        blocked-path-agnostic; values equal the dense computation up to f32
+        stat association (the blocked INs count every valid row once)."""
+        rows_out = x.shape[1] // 2
+        rb = rows_out // nblk
+        m = 5  # 5 residual convs after the entry → 5-row output margins
+        xb = _reblock_rows(x, nblk, rb, m)
+        bsz = xb.shape[0]
+        flat = xb.reshape((bsz * nblk,) + xb.shape[2:])
+        if b == 1 and self.pack_w:
+            # packed block0 output: 'down' consumes the packed map, emits
+            # standard (the W/2 axis already halves width; rows stride 2)
+            x = PackedConv(
+                width, flat.shape[-1] // 2, "down_valid", self.compute_dtype,
+                name="block1_down",
+            )(flat)
+        else:
+            x = nn.Conv(
+                width, (3, 3), strides=(2, 2), padding=((0, 0), (1, 0)),
+                use_bias=False, dtype=self.compute_dtype, name=f"block{b}_down",
+            )(flat)
+        x = x.reshape(bsz, nblk, rb + 2 * m, x.shape[2], -1)
+        x = _instance_norm_blocked(x, m, m, rb, packed=False)
+        x = nn.relu(x)
+        for u, (ncv, top) in enumerate(zip((2, 2, 1), (m, m - 2, 1))):
+            x = _BlockedPreActResidual(
+                width, ncv, rb, top, self.compute_dtype, packed=False,
+                name=f"block{b}_res{u}",
+            )(x)
+        return x.reshape(bsz, nblk * rb, x.shape[3], x.shape[4])
+
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         ups = []
@@ -813,6 +900,13 @@ class RPN(nn.Module):
             if b == 0 and self.block0_blocked:
                 assert self.pack_w and depth == 2, "blocked block0: packed depth-2 only"
                 x = self._blocked_block0(x, width)
+            elif (
+                b >= 1
+                and self.late_blocked
+                and depth == 4
+                and late_blocking(x.shape[1] // 2) > 1
+            ):
+                x = self._blocked_late(x, b, width, late_blocking(x.shape[1] // 2))
             else:
                 if b == 0 and self.pack_w:
                     x = PackedConv(
@@ -920,7 +1014,6 @@ class SharedHead(nn.Module):
     num_anchor_per_loc: int = 9
     box_code_size: int = 7
     compute_dtype: Any = jnp.bfloat16
-
     @nn.compact
     def __call__(
         self, x: jax.Array | tuple[jax.Array, jax.Array]
@@ -950,6 +1043,13 @@ class SharedHead(nn.Module):
         # 63.9→67.8 ms) — the 90-channel output transpose+relayout out of
         # s2b form costs more than the dot's input handling. Keep the dot.
         def head_dot(feats):
+            # The train graph's 4D form gets rewritten by XLA into a
+            # degenerate padded-window convolution running at ~31 TF/s
+            # (tools/train_mfu.py) — but a flattened (N·H·W, cin) 2D dot
+            # that dodges the rewrite was MEASURED SLOWER (round 5, b=2
+            # 20 cm 45.3/45.9 → 47.0-47.4 ms/step; 10 cm 198 ms): the
+            # flatten un-fuses the neck concat epilogue and its relayout
+            # costs more than the dot emitter saves. Keep the 4D dot.
             yt = jax.lax.dot_general(
                 wf.T.astype(dt), feats.astype(dt), (((1,), (3,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -1171,7 +1271,16 @@ class PointPillars(nn.Module):
             compute_dtype=dtype, pack_w=pack, fuse_in_stats=fuse_stats,
             split_out=pack and shared_head and not train
             and getattr(self.cfg, "split_head", True),
-            block0_blocked=blocked, name="rpn",
+            block0_blocked=blocked,
+            # late blocking shares the block0 lever's physics and win region
+            # (b=2 dense emitters): train-only, per-device batch <= 2, not
+            # under spatial sharding. Inference never needs it — at batch 1
+            # space-to-batch already batches these convs over space.
+            late_blocked=(
+                train and voxels.shape[0] <= 2 and self.canvas_sharding is None
+                and getattr(self.cfg, "late_blocked_train", False)
+            ),
+            name="rpn",
         )(canvas)
         if not shared_head:
             return MultiHead(

@@ -17,6 +17,8 @@ loss, 23.22→23.56 ms, predates the spatial-preds contract, and the current
     pack_w          (same packing under the training graph)
     block0_blocked_train  blocked-halo block0 under the train step (batch-
                     (B·nblk) conv emitters instead of the slow batch-B ones)
+    late_blocked_train    blocks 1-2 batch-over-blocks under the train step
+                    (fresh 5-row halos per block; same emitter physics)
 
 (Round-3 carried three more levers — scatter_subtile, matcher_skip,
 fused_adam — and round 4 a fourth, pfn_segmented; all were measured
@@ -63,6 +65,7 @@ LEVERS = (
     ("fuse_in_stats", (True, False), ("infer",), False),
     ("block0_blocked", (False, True), ("infer",), True),
     ("block0_blocked_train", (False, True), ("train",), True),
+    ("late_blocked_train", (False, True), ("train",), True),
     ("split_head", (True, False), ("infer",), False),
 )
 

@@ -87,6 +87,51 @@ class TestRPN:
         assert out.shape == (1, 8, 8, 320)
 
 
+class TestLateBlocked:
+    def test_late_blocked_rpn_matches_dense(self):
+        """RPN.late_blocked (Config.late_blocked_train): blocks 1-2 run
+        batch-over-blocks with fresh 5-row halos; forward outputs and input/
+        param grads must match the dense path (f32 stat-association only).
+        A tall narrow map engages both late blocks (block1 rows_out 128 →
+        nblk 4, block2 rows_out 64 → nblk 2) at CPU-test cost."""
+        bsz, h2, w2, c4 = 1, 256, 16, 256  # packed s2d canvas, H=512 W=64
+        r = np.random.RandomState(7)
+        x = jnp.asarray(r.randn(bsz, h2, w2, c4).astype(np.float32))
+        dense = RPN(compute_dtype=jnp.float32, pack_w=True, fuse_in_stats=False)
+        blk = RPN(
+            compute_dtype=jnp.float32, pack_w=True, fuse_in_stats=False,
+            late_blocked=True,
+        )
+        v = dense.init(jax.random.PRNGKey(0), x)
+        out_d = dense.apply(v, x)
+        out_b = blk.apply(v, x)
+        assert out_b.shape == out_d.shape
+        np.testing.assert_allclose(
+            np.asarray(out_b), np.asarray(out_d), rtol=1e-4, atol=1e-4
+        )
+
+        w = jnp.asarray(r.randn(*out_d.shape).astype(np.float32))
+
+        def loss(mod):
+            return lambda params, xx: jnp.sum(
+                jnp.tanh(mod.apply(params, xx) / 4.0) * w
+            )
+
+        gd_p, gd_x = jax.grad(loss(dense), argnums=(0, 1))(v, x)
+        gb_p, gb_x = jax.grad(loss(blk), argnums=(0, 1))(v, x)
+        np.testing.assert_allclose(
+            np.asarray(gb_x), np.asarray(gd_x), rtol=1e-3, atol=2e-4
+        )
+        fd = {str(k): a for k, a in jax.tree_util.tree_leaves_with_path(gd_p)}
+        fb = {str(k): a for k, a in jax.tree_util.tree_leaves_with_path(gb_p)}
+        assert fd.keys() == fb.keys()
+        for k in fd:
+            np.testing.assert_allclose(
+                np.asarray(fb[k]), np.asarray(fd[k]), rtol=1e-3, atol=2e-4,
+                err_msg=k,
+            )
+
+
 class TestHeadOrdering:
     def test_anchor_major_layout(self):
         """A delta at one (x, y) location must land at flat indices

@@ -27,6 +27,9 @@ def main() -> None:
     ap.add_argument("--pack-w", type=int, default=None,
                     help="override cfg.pack_w (packing is weight-side only, "
                     "so the trainer may pick whichever direction is faster)")
+    ap.add_argument("--set", action="append", default=[],
+                    help="config override key=json for lever A/Bs, e.g. "
+                    "--set late_blocked_train=true (repeatable)")
     args = ap.parse_args()
 
     import jax
@@ -44,6 +47,9 @@ def main() -> None:
     overrides = {}
     if args.pack_w is not None:
         overrides["pack_w"] = bool(args.pack_w)
+    for kv in args.set:
+        k, _, v = kv.partition("=")
+        overrides[k] = json.loads(v)
     cfg = load_config(args.config, max_points=120_000, batch_size=args.batch,
                       **overrides)
     trainer = Trainer(cfg)

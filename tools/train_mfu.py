@@ -227,6 +227,8 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--parse-only", action="store_true",
                     help="compile + parse (no trace) — CPU smoke")
+    ap.add_argument("--set", action="append", default=[],
+                    help="config override key=json (lever A/Bs)")
     args = ap.parse_args()
 
     import jax
@@ -249,7 +251,14 @@ def main():
 
         cfg = g._small_cfg().replace(batch_size=args.batch)
     else:
-        cfg = load_config(args.config, max_points=120_000, batch_size=args.batch)
+        import json as _json
+
+        overrides = {}
+        for kv in args.set:
+            k, _, v = kv.partition("=")
+            overrides[k] = _json.loads(v)
+        cfg = load_config(args.config, max_points=120_000,
+                          batch_size=args.batch, **overrides)
     trainer = Trainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
