@@ -685,6 +685,26 @@ def block0_blocking(grid_xy: tuple[int, int]) -> tuple[int, tuple[int, int]]:
     return nblk, halo
 
 
+def _in_blocked_moments(x5: jax.Array, top: int, valid_rows: int, packed: bool):
+    xs = x5[:, :, top : top + valid_rows].astype(jnp.float32)
+    s1 = jnp.sum(xs, axis=(1, 2, 3))                       # (B, 2C)
+    s2 = jnp.sum(xs * xs, axis=(1, 2, 3))
+    n = x5.shape[1] * valid_rows * x5.shape[3]             # = H · W2 unblocked
+    return _moments_from_sums(s1, s2, n, packed=packed)
+
+
+def _in_blocked_apply(x5, mean, inv, top, bot):
+    mean_c = mean[:, None, None, None].astype(x5.dtype)
+    inv_c = inv[:, None, None, None].astype(x5.dtype)
+    y = (x5 - mean_c) * inv_c
+    if top:
+        y = y.at[:, 0, :top].set(0.0)
+    if bot:
+        y = y.at[:, -1, y.shape[2] - bot :].set(0.0)
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def _instance_norm_blocked(
     x5: jax.Array, top: int, bot: int, valid_rows: int, packed: bool = True
 ) -> jax.Array:
@@ -699,22 +719,56 @@ def _instance_norm_blocked(
     zero-pads there, and an IN'd zero is -mean·inv ≠ 0 — without this the
     next conv reads garbage at the canvas edges and its IN's statistics
     drift map-wide (caught by the isolated block0 equality probe).
-    Differentiable as plain jnp (the margin re-zeroing's `.at[].set(0)`
-    correctly zeros those entries' cotangents — the forward really does
-    not depend on them)."""
-    xs = x5[:, :, top : top + valid_rows].astype(jnp.float32)
-    s1 = jnp.sum(xs, axis=(1, 2, 3))                       # (B, 2C)
-    s2 = jnp.sum(xs * xs, axis=(1, 2, 3))
-    n = x5.shape[1] * valid_rows * x5.shape[3]             # = H · W2 unblocked
-    mean, inv, _ = _moments_from_sums(s1, s2, n, packed=packed)
+
+    Analytic VJP (the blocked analogue of `_instance_norm`'s): with
+    ĝ = g after the same edge re-zeroing and x̂ = (x−μ)·r,
+      dx = r·(ĝ − 1_valid·(mean_n(ĝ) + x̂·mean_n(ĝ·x̂)))
+    where the ĝ-sums run over the WHOLE blocked map (halo rows' cotangents
+    flow through μ and r too — every y_i depends on them) but the divisor n
+    and the correction's row support are the VALID region only (μ, σ are
+    functions of valid rows alone, so only their dx picks up the stats
+    terms). Two fused reductions + one elementwise pass, replacing
+    autodiff's saved-residual chains (same argument as `_instance_norm`,
+    whose analytic form was worth ~13 ms/step in round 2)."""
+    mean, inv, _ = _in_blocked_moments(x5, top, valid_rows, packed)
+    return _in_blocked_apply(x5, mean, inv, top, bot)
+
+
+def _in_blocked_fwd(x5, top, bot, valid_rows, packed):
+    mean, inv, n = _in_blocked_moments(x5, top, valid_rows, packed)
+    return _in_blocked_apply(x5, mean, inv, top, bot), (x5, mean, inv, n)
+
+
+def _in_blocked_bwd(top, bot, valid_rows, packed, res, g):
+    x5, mean, inv, n = res
+    if top:
+        g = g.at[:, 0, :top].set(0.0)
+    if bot:
+        g = g.at[:, -1, g.shape[2] - bot :].set(0.0)
     mean_c = mean[:, None, None, None].astype(x5.dtype)
     inv_c = inv[:, None, None, None].astype(x5.dtype)
-    y = (x5 - mean_c) * inv_c
-    if top:
-        y = y.at[:, 0, :top].set(0.0)
-    if bot:
-        y = y.at[:, -1, y.shape[2] - bot :].set(0.0)
-    return y
+    xhat = (x5 - mean_c) * inv_c
+    # full-map sums (halo cotangents included), VALID-count divisor n
+    s_g = jnp.sum(g.astype(jnp.float32), axis=(1, 2, 3))          # (B, C*)
+    s_gx = jnp.sum((g * xhat).astype(jnp.float32), axis=(1, 2, 3))
+    if packed:
+        c2 = s_g.shape[-1] // 2
+        s_g = jnp.tile(s_g[:, :c2] + s_g[:, c2:], (1, 2))
+        s_gx = jnp.tile(s_gx[:, :c2] + s_gx[:, c2:], (1, 2))
+    m_g = (s_g / n)[:, None, None, None].astype(g.dtype)
+    m_gx = (s_gx / n)[:, None, None, None].astype(g.dtype)
+    # the stats correction lands on valid rows only — express it as a row
+    # mask so the whole bwd is one elementwise fusion over the map
+    rowmask = (
+        jnp.zeros((x5.shape[2], 1, 1), g.dtype)
+        .at[top : top + valid_rows]
+        .set(1.0)
+    )
+    dx = inv_c * (g - rowmask * (m_g + xhat * m_gx))
+    return (dx.astype(x5.dtype),)
+
+
+_instance_norm_blocked.defvjp(_in_blocked_fwd, _in_blocked_bwd)
 
 
 class _BlockedPreActResidual(nn.Module):
